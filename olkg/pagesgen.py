@@ -1,0 +1,128 @@
+"""Synthetic Common-Crawl-style pages table (FIXTURES.md §1).
+
+One page wraps one dump record: ``text`` carries the verbatim 5-column line
+(the byte-identity invariant surface), ``html`` wraps it in a fixed envelope
+that the extract stage must invert byte-identically.
+
+Clone scaling rewrites entity keys deterministically so bench corpora of any
+size derive from the fixture corpus; ``skew_hot_author`` re-points a fraction
+of cloned editions at one author key to reproduce web-duplicate hot-key skew
+(the J1 stress case, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+_HTML_PREFIX = b"<html><body><pre>"
+_HTML_SUFFIX = b"</pre></body></html>"
+
+
+def text_to_html(line: str) -> bytes:
+    esc = (line.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;"))
+    return _HTML_PREFIX + esc.encode("utf-8") + _HTML_SUFFIX
+
+
+def html_to_text(html: bytes) -> str | None:
+    """Inverse of text_to_html — must recover the dump line byte-identically
+    (the per-url invariant from BASELINE.json input_hint)."""
+    if html is None:
+        return None
+    if not (html.startswith(_HTML_PREFIX) and html.endswith(_HTML_SUFFIX)):
+        return None
+    body = html[len(_HTML_PREFIX):len(html) - len(_HTML_SUFFIX)].decode("utf-8")
+    return body.replace("&gt;", ">").replace("&lt;", "<").replace("&amp;", "&")
+
+
+def _parse_ts(date_col: str):
+    try:
+        dt = datetime.fromisoformat(date_col)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt
+    except (ValueError, TypeError):
+        return datetime(2020, 1, 1, tzinfo=timezone.utc)
+
+
+_REF_FIELDS = ("authors", "works", "volumes")
+
+
+def _rewrite_keys(data: dict, suffix: str, rewrite_refs: bool) -> dict:
+    """Deterministically rename the entity (and optionally its refs) for a
+    clone: key '/books/OL1M' → '/books/OL1M<suffix>'."""
+    out = json.loads(json.dumps(data))  # deep copy
+    if isinstance(out.get("key"), str):
+        out["key"] = out["key"] + suffix
+    if rewrite_refs:
+        for f in _REF_FIELDS:
+            v = out.get(f)
+            if isinstance(v, list):
+                for item in v:
+                    if isinstance(item, dict):
+                        if isinstance(item.get("key"), str):
+                            item["key"] = item["key"] + suffix
+                        ref = item.get("author")
+                        if isinstance(ref, dict) and isinstance(ref.get("key"), str):
+                            ref["key"] = ref["key"] + suffix
+    return out
+
+
+def _set_author_refs(data: dict, author_key: str) -> None:
+    if isinstance(data.get("authors"), list):
+        for item in data["authors"]:
+            if isinstance(item, dict):
+                if "author" in item and isinstance(item["author"], dict):
+                    item["author"]["key"] = author_key
+                elif "key" in item:
+                    item["key"] = author_key
+
+
+def pages_rows(lines: list[str], clones: int = 1, rewrite_refs: bool = True,
+               skew_hot_author: str | None = None,
+               skew_fraction: float = 0.0) -> list[tuple]:
+    """Rows matching PAGES_SCHEMA.  clone 0 keeps the verbatim lines; clones
+    1..n-1 rewrite keys with a deterministic suffix.  With skew enabled, every
+    edition clone whose index satisfies ``i % round(1/skew_fraction) == 0``
+    points all author refs at ``skew_hot_author``."""
+    rows = []
+    skew_every = int(round(1.0 / skew_fraction)) if skew_fraction else 0
+    for line in lines:
+        parts = line.split("\t")
+        if len(parts) < 5:
+            continue
+        rtype, _key, rev, date = parts[0], parts[1], parts[2], parts[3]
+        try:
+            data = json.loads(parts[4])
+        except ValueError:
+            continue
+        ts = _parse_ts(date)
+        for i in range(clones):
+            if i == 0:
+                out_line, key = line, data.get("key", "")
+            else:
+                d = _rewrite_keys(data, f"_c{i}", rewrite_refs)
+                if (skew_hot_author and rtype in ("/type/edition", "/type/work")
+                        and skew_every and i % skew_every == 0):
+                    _set_author_refs(d, skew_hot_author)
+                key = d.get("key", "")
+                out_line = "\t".join([rtype, key, rev, date,
+                                      json.dumps(d, ensure_ascii=False,
+                                                 separators=(", ", ": "))])
+            url = "http://openlibrary.org" + key
+            rows.append((url, ts, text_to_html(out_line), out_line, "en"))
+    return rows
+
+
+def build_pages_df(spark, lines: list[str], **kwargs):
+    from .schema import PAGES_SCHEMA
+    return spark.createDataFrame(pages_rows(lines, **kwargs), PAGES_SCHEMA)
+
+
+def write_pages_parquet(spark, lines: list[str], path: str,
+                        num_partitions: int | None = None, **kwargs) -> int:
+    df = build_pages_df(spark, lines, **kwargs)
+    if num_partitions:
+        df = df.repartition(num_partitions, "url")
+    df.write.mode("overwrite").parquet(path)
+    return df.count()

@@ -1,0 +1,163 @@
+"""End-to-end pipeline: extract → link → canonicalize → materialize.
+
+Stage graph (each stage checkpointed, resumable — north_rule):
+
+  pages ──extract(mapInPandas, narrow)──▶ extract/          [kind-partitioned]
+        ──link(J1 salted shuffle + J2 broadcast)──▶ linked/
+        ──canonicalize(A4 dedup + blocked CC)──▶ edges/ + canonical_map/
+        ──materialize──▶ nodes/ + export.nt.gz + lineage/
+
+Run:  python -m olkg.pipeline --pages <dir> --out <dir> [--lcsh-parquet <dir>]
+      (spark-submit --py-files olkg.zip works the same way on a cluster)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .canonicalize import canonical_map, dedup_edges, sameas_edges_from_map
+from .extract import extract_pages
+from .link import link_stage
+from .materialize import (append_lineage, build_nodes, export_ntriples_gz,
+                          read_stage, stage_complete, write_stage)
+
+
+def run_pipeline(spark: SparkSession, pages_path: str, out_dir: str,
+                 lcsh: DataFrame | None = None,
+                 resume: bool = True,
+                 hot_threshold: int = 100_000,
+                 num_salts: int = 16,
+                 repartition_by_url: int | None = None,
+                 with_canonical_map: bool = True,
+                 export_nt: bool = True) -> dict:
+    """Returns a metrics dict (stage wall times, row counts, triples/sec)."""
+    os.makedirs(out_dir, exist_ok=True)
+    run_id = uuid.uuid4().hex[:12]
+    metrics: dict = {"run_id": run_id, "stages": {}}
+    t_total = time.time()
+
+    # -- stage: extract ------------------------------------------------------
+    if resume and stage_complete(out_dir, "extract"):
+        metrics["stages"]["extract"] = {"skipped": True}
+    else:
+        t0 = time.time()
+        pages = spark.read.parquet(pages_path)
+        ext = extract_pages(pages, repartition_by_url=repartition_by_url)
+        # kind-partitioned so downstream readers prune: the link stage reads
+        # 'triple' + 3 small side kinds; audits read only 'page'
+        write_stage(ext, out_dir, "extract", partition_by=["kind"])
+        wall = int((time.time() - t0) * 1000)
+        ext_ck = read_stage(spark, out_dir, "extract")
+        append_lineage(spark, out_dir, run_id, "extract", ext_ck, wall)
+        metrics["stages"]["extract"] = {"wall_ms": wall}
+
+    extract_df = read_stage(spark, out_dir, "extract")
+
+    # -- stage: link ---------------------------------------------------------
+    if resume and stage_complete(out_dir, "linked"):
+        metrics["stages"]["link"] = {"skipped": True}
+    else:
+        t0 = time.time()
+        linked = link_stage(extract_df, lcsh, hot_threshold=hot_threshold,
+                            num_salts=num_salts)
+        write_stage(linked, out_dir, "linked")
+        wall = int((time.time() - t0) * 1000)
+        append_lineage(spark, out_dir, run_id, "linked",
+                       read_stage(spark, out_dir, "linked"), wall)
+        metrics["stages"]["link"] = {"wall_ms": wall}
+
+    linked = read_stage(spark, out_dir, "linked")
+
+    # -- stage: canonicalize (A4 dedup + entity resolution) -------------------
+    if resume and stage_complete(out_dir, "edges"):
+        metrics["stages"]["canonicalize"] = {"skipped": True}
+    else:
+        t0 = time.time()
+        edges = dedup_edges(linked)
+        write_stage(edges, out_dir, "edges")
+        wall = int((time.time() - t0) * 1000)
+        append_lineage(spark, out_dir, run_id, "edges",
+                       read_stage(spark, out_dir, "edges"), wall)
+        metrics["stages"]["canonicalize"] = {"wall_ms": wall}
+
+    edges = read_stage(spark, out_dir, "edges")
+
+    if with_canonical_map and not (resume and stage_complete(out_dir, "canonical_map")):
+        t0 = time.time()
+        names = (extract_df.filter(F.col("kind") == "author_name")
+                 .select(F.col("subj").alias("author_key"),
+                         F.col("obj").alias("name")))
+        cmap = canonical_map(edges, names)
+        write_stage(cmap, out_dir, "canonical_map")
+        append_lineage(spark, out_dir, run_id, "canonical_map",
+                       read_stage(spark, out_dir, "canonical_map"),
+                       int((time.time() - t0) * 1000))
+        metrics["stages"]["canonical_map"] = {"wall_ms": int((time.time() - t0) * 1000)}
+
+    # -- stage: materialize ---------------------------------------------------
+    if resume and stage_complete(out_dir, "nodes"):
+        metrics["stages"]["materialize"] = {"skipped": True}
+    else:
+        t0 = time.time()
+        nodes = build_nodes(edges)
+        write_stage(nodes, out_dir, "nodes")
+        if export_nt:
+            export_ntriples_gz(edges, os.path.join(out_dir, "export_nt"))
+        wall = int((time.time() - t0) * 1000)
+        append_lineage(spark, out_dir, run_id, "nodes",
+                       read_stage(spark, out_dir, "nodes"), wall)
+        metrics["stages"]["materialize"] = {"wall_ms": wall}
+
+    n_triples = edges.count()
+    total_s = time.time() - t_total
+    metrics["triples"] = n_triples
+    metrics["wall_s"] = round(total_s, 3)
+    metrics["triples_per_sec"] = round(n_triples / total_s, 1) if total_s else None
+    # byte-identity audit
+    page_rows = extract_df.filter(F.col("kind") == "page")
+    metrics["pages"] = page_rows.count()
+    metrics["text_mismatches"] = page_rows.filter(F.col("obj") != "ok").count()
+    return metrics
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="olkg KG-construction pipeline")
+    ap.add_argument("--pages", required=True, help="pages parquet path")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--lcsh-parquet", help="LCSH dimension parquet (label,uri)")
+    ap.add_argument("--lcsh-nt", help="LCSH N-Triples dump to load (S2)")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--hot-threshold", type=int, default=100_000)
+    ap.add_argument("--num-salts", type=int, default=16)
+    ap.add_argument("--repartition-by-url", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from .session import build_session
+    spark = build_session(app_name="olkg-pipeline", master=args.master,
+                          shuffle_partitions=args.shuffle_partitions)
+    lcsh = None
+    if args.lcsh_parquet:
+        lcsh = spark.read.parquet(args.lcsh_parquet)
+    elif args.lcsh_nt:
+        from .link import load_lcsh_ntriples
+        lcsh = load_lcsh_ntriples(spark, args.lcsh_nt)
+    metrics = run_pipeline(spark, args.pages, args.out, lcsh=lcsh,
+                           resume=not args.no_resume,
+                           hot_threshold=args.hot_threshold,
+                           num_salts=args.num_salts,
+                           repartition_by_url=args.repartition_by_url)
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

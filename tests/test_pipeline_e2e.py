@@ -1,0 +1,156 @@
+"""End-to-end Spark pipeline tests: distributed output == single-process
+golden net effect (the P/R ≥ 0.95 gate from BASELINE.md — we require 1.0),
+byte-identity audit, idempotent resume, and salted-join equivalence."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from olkg import vocab as V
+from olkg.fixtures import LCSH_ROWS, corpus_lines
+from olkg.golden import golden_triples, precision_recall
+from olkg.link import salted_join_author_names
+from olkg.pagesgen import build_pages_df, html_to_text, text_to_html
+from olkg.pipeline import run_pipeline
+from olkg.schema import LCSH_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return corpus_lines(include_reference=True)
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("olkg_out"))
+    pages_path = str(tmp_path_factory.mktemp("pages")) + "/pages.parquet"
+    build_pages_df(spark, corpus).write.mode("overwrite").parquet(pages_path)
+    lcsh = spark.createDataFrame(LCSH_ROWS, LCSH_SCHEMA)
+    metrics = run_pipeline(spark, pages_path, out, lcsh=lcsh, resume=True,
+                           hot_threshold=100, num_salts=4)
+    return out, pages_path, metrics
+
+
+def edges_set(spark, out):
+    rows = spark.read.parquet(out + "/edges").collect()
+    return {(r.subj, r.pred, r.obj, r.obj_kind, r.obj_datatype) for r in rows}
+
+
+def test_pipeline_matches_golden(spark, corpus, pipeline_out):
+    out, _, metrics = pipeline_out
+    result = edges_set(spark, out)
+    golden = golden_triples(corpus, dict(LCSH_ROWS))
+    p, r = precision_recall(result, golden)
+    assert p == 1.0 and r == 1.0, (
+        f"P={p} R={r}; spurious={list(result - golden)[:5]} "
+        f"missing={list(golden - result)[:5]}")
+    assert metrics["triples"] == len(golden)
+
+
+def test_byte_identity_audit(pipeline_out):
+    _, _, metrics = pipeline_out
+    assert metrics["pages"] > 0
+    assert metrics["text_mismatches"] == 0
+
+
+def test_html_roundtrip():
+    line = "/type/edition\t/books/X\t1\t2020\t{\"key\": \"/books/X\", \"title\": \"a<b>&c\"}"
+    assert html_to_text(text_to_html(line)) == line
+
+
+def test_join_born_triples_present(spark, pipeline_out):
+    out, _, _ = pipeline_out
+    edges = spark.read.parquet(out + "/edges")
+    # J1: ol:author literals exist (author + edition both in corpus)
+    ol = edges.filter(F.col("pred") == V.OL_AUTHOR)
+    assert ol.filter(F.col("obj") == "Ada Quill").count() > 0
+    # J2: LCSH dc:subject URIs exist
+    lcsh_hits = edges.filter(F.col("obj").startswith("http://id.loc.gov/"))
+    assert lcsh_hits.count() > 0
+
+
+def test_nodes_table(spark, pipeline_out):
+    out, _, _ = pipeline_out
+    nodes = spark.read.parquet(out + "/nodes")
+    typed = {r.node_type for r in nodes.filter(F.col("node_type").isNotNull())
+             .select("node_type").distinct().collect()}
+    assert V.BIBO_BOOK in typed and V.FOAF_AGENT in typed
+    assert V.FRBR_WORK in typed and V.SKOS_CONCEPT in typed
+    assert nodes.filter(F.col("is_bnode")).count() > 0
+
+
+def test_ntriples_export(spark, pipeline_out):
+    out, _, _ = pipeline_out
+    nt = spark.read.text(out + "/export_nt")
+    n = nt.count()
+    assert n == spark.read.parquet(out + "/edges").count()
+    sample = nt.filter(F.col("value").contains("foaf/0.1/name")).first().value
+    assert sample.endswith(" .")
+    assert sample.startswith("<http://openlibrary.org/")
+
+
+def test_resume_reuses_checkpoints(spark, corpus, pipeline_out, tmp_path):
+    out, pages_path, _ = pipeline_out
+    before = edges_set(spark, out)
+    # simulate a crash after the link stage: drop downstream outputs
+    shutil.rmtree(out + "/edges")
+    shutil.rmtree(out + "/nodes")
+    lcsh = spark.createDataFrame(LCSH_ROWS, LCSH_SCHEMA)
+    metrics = run_pipeline(spark, pages_path, out, lcsh=lcsh, resume=True,
+                           hot_threshold=100, num_salts=4)
+    # upstream stages were skipped, downstream recomputed, output identical
+    assert metrics["stages"]["extract"] == {"skipped": True}
+    assert metrics["stages"]["link"] == {"skipped": True}
+    assert "wall_ms" in metrics["stages"]["canonicalize"]
+    assert edges_set(spark, out) == before
+
+
+def test_lineage_written(spark, pipeline_out):
+    out, _, _ = pipeline_out
+    lineage = spark.read.parquet(out + "/lineage")
+    stages = {r.stage for r in lineage.select("stage").distinct().collect()}
+    assert {"extract", "linked", "edges", "nodes"} <= stages
+    assert lineage.filter(F.col("rows_out") > 0).count() > 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    refs = spark.createDataFrame(
+        [(f"http://c/{i}", "/authors/HOT") for i in range(50)]
+        + [("http://c/x", "/authors/COLD")],
+        ["creation_uri", "author_key"])
+    names = spark.createDataFrame(
+        [("/authors/HOT", "Hot Name"), ("/authors/HOT", "H. Name"),
+         ("/authors/COLD", "Cold Name"), ("/authors/ORPHAN", "Nobody")],
+        ["author_key", "name"])
+    salted = salted_join_author_names(refs, names, hot_threshold=10,
+                                      num_salts=4)
+    plain = (refs.join(names, "author_key")
+             .select("creation_uri", "name"))
+    got = {(r.subj, r.obj) for r in salted.collect()}
+    want = {(r.creation_uri, r.name) for r in plain.collect()}
+    assert got == want
+    assert len(got) == 101  # 50*2 + 1; orphan author drops out (inner join)
+
+
+def test_skewed_corpus_still_correct(spark, tmp_path):
+    """Web-duplicate skew: many cloned editions point at one hot author key;
+    salted J1 must still produce the exact golden set."""
+    from olkg.pagesgen import pages_rows
+    lines = corpus_lines(include_reference=False)
+    rows = pages_rows(lines, clones=6, rewrite_refs=True,
+                      skew_hot_author="/authors/HOT1A", skew_fraction=0.5)
+    skew_lines = [r[3] for r in rows]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, "
+                                        "html binary, text string, lang string")
+    pages_path = str(tmp_path / "pages.parquet")
+    pages.write.parquet(pages_path)
+    out = str(tmp_path / "out")
+    metrics = run_pipeline(spark, pages_path, out, lcsh=None, resume=False,
+                           hot_threshold=5, num_salts=4,
+                           with_canonical_map=False, export_nt=False)
+    result = edges_set(spark, out)
+    golden = golden_triples(skew_lines, {})
+    p, r = precision_recall(result, golden)
+    assert p == 1.0 and r == 1.0
+    assert metrics["text_mismatches"] == 0
