@@ -1,0 +1,241 @@
+"""Training-data text operators over a documents table.
+
+These are the operations a large-scale corpus pipeline needs beyond the KG
+mapping itself: deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard),
+language id, quality scoring, token counting, fingerprinting.  All hot paths
+are native Catalyst expressions (JVM-side, whole-stage codegen); Python
+appears only in the MinHash/SimHash signature UDFs, which are Arrow-batched.
+
+Scale notes:
+- exact dedup: one hash-partitioned aggregate on a fixed-width digest, never
+  on the raw text (shuffle carries 32 bytes/row, not documents);
+- n-gram Jaccard: inverted-index self-join on shingle hashes with a
+  document-frequency cap (`max_df`) so stop-shingles don't produce quadratic
+  candidate blowup — the standard guard at web scale;
+- MinHash-LSH: band buckets shuffle like any groupBy; bucket sizes are
+  bounded by band width, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(documents: DataFrame) -> DataFrame:
+    """Exact duplicate groups by md5(text): (text_hash, dup_count, keeper_id).
+    Only groups with >1 member are duplicates; keeper = min doc_id
+    (deterministic survivor)."""
+    return (documents
+            .groupBy(F.md5("text").alias("text_hash"))
+            .agg(F.count(F.lit(1)).alias("dup_count"),
+                 F.min("doc_id").alias("keeper_id"))
+            .filter(F.col("dup_count") > 1))
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Keep one row per distinct text (min doc_id wins)."""
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (documents.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# Word n-gram shingles + exact Jaccard (the verifiable near-dup baseline)
+# ---------------------------------------------------------------------------
+
+def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct word n-grams via native array ops —
+    split → transform over a sequence of start offsets → explode."""
+    toks = documents.select("doc_id", F.split("text", " ").alias("t"))
+    n_sh = F.greatest(F.size("t") - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(F.col("t"), (i + j + 1).cast("int"))
+                                     for j in range(n)]),
+    )
+    return (toks.filter(n_sh > 0)
+            .select("doc_id", F.explode(grams).alias("shingle"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
+                        threshold: float = 0.5,
+                        max_df: int | None = 10_000) -> DataFrame:
+    """(doc_a, doc_b, inter_size, jaccard) for all pairs with word-n-gram
+    Jaccard ≥ threshold.  Inverted-index equi-join on the shingle, so only
+    docs sharing a shingle are ever paired; `max_df` drops shingles that occur
+    in more than max_df documents (stop-shingle guard)."""
+    sh = _shingles(documents, n)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
+              .select("doc_id", "shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("inter_size")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("inter_size") /
+                                (F.col("sz_a") + F.col("sz_b") - F.col("inter_size")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "inter_size", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidates
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_candidates(documents: DataFrame, n: int = 3,
+                           num_perm: int = 16, bands: int = 4) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: shingle → per-permutation min
+    of xxhash64(perm, shingle) → band buckets → within-bucket pairing.
+    Entirely native expressions: the permutation fan-out is a posexplode over
+    a literal seq, min-aggregated per (doc, perm); deterministic."""
+    rows_per_band = num_perm // bands
+    sh = _shingles(documents, n)
+    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    hashed = (sh.select("doc_id", F.explode(perms).alias("perm"), "shingle")
+              .select("doc_id", "perm",
+                      F.xxhash64(F.concat(F.col("perm").cast("string"),
+                                          F.lit("|"), F.col("shingle"))).alias("h")))
+    minh = hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("mh"))
+    banded = (minh.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+              .groupBy("doc_id", "band")
+              .agg(F.sort_array(F.collect_list(F.struct("perm", "mh")))
+                   .alias("sig"))
+              .select("doc_id", "band",
+                      F.xxhash64(F.col("band").cast("string"),
+                                 F.to_json("sig")).alias("bucket")))
+    l = banded.select(F.col("doc_id").alias("doc_a"), "bucket")
+    r = banded.select(F.col("doc_id").alias("doc_b"), "bucket")
+    return (l.join(r, "bucket")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) 64-bit SimHash over word tokens: per-bit majority of
+    token hashes, all in native expressions (token → xxhash64 → bit tests →
+    sums → sign)."""
+    toks = (documents
+            .select("doc_id", F.explode(F.split(text_col, " ")).alias("tok"))
+            .filter(F.col("tok") != "")
+            .withColumn("h", F.xxhash64("tok")))
+    one = F.lit(1).cast("long")
+    # bit 63 via shiftleft (wraps to the sign bit; 1 << 63 would overflow a
+    # Python-long literal on the JVM side)
+    bit_cols = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1)
+              .otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_cols)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)) \
+                     .otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 × 16-bit chunks (any pair within
+    hamming ≤ max_hamming shares at least one exact chunk for max_hamming≤3),
+    verify hamming distance within blocks."""
+    sh = simhash64(documents)
+    chunks = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{c}:"),
+                     F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
+                     .cast("string"))
+            for c in range(4)
+        ])).alias("chunk"))
+    l = chunks.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sh_a"), "chunk")
+    r = chunks.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sh_b"), "chunk")
+    cand = (l.join(r, "chunk").filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sh_a", "sh_b").distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Language id / quality / tokens / fingerprint
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": r"\b(the|and|of|with)\b",
+    "es": r"\b(el|la|los|las|con)\b",
+    "de": r"\b(der|die|das|und|mit)\b",
+    "fr": r"\b(le|les|des|avec|est)\b",
+}
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Deterministic marker-word language id: counts of per-language marker
+    regexes; predict the max-count language, ties broken by language code
+    order, all-zero → 'und'."""
+    scored = documents.select(
+        "doc_id",
+        *[F.regexp_count(F.col("text"), F.lit(pat)).alias(f"n_{code}")
+          for code, pat in _LANG_MARKERS.items()])
+    best = F.greatest(*[F.col(f"n_{c}") for c in _LANG_MARKERS])
+    pred = F.lit("und")
+    for code in reversed(list(_LANG_MARKERS)):  # earlier codes win ties
+        pred = F.when((F.col(f"n_{code}") == best) & (best > 0),
+                      F.lit(code)).otherwise(pred)
+    return scored.withColumn("lang_pred", pred) \
+                 .select("doc_id", *[f"n_{c}" for c in _LANG_MARKERS],
+                         "lang_pred")
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Length/punctuation/stopword-ratio quality features + a keep flag."""
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\w\s]"))
+    n_stop = F.regexp_count(F.col("text"),
+                            F.lit(r"\b(the|a|an|and|or|of|to|in|is)\b"))
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4).alias("stop_ratio"),
+        ((n_tokens >= 10) & (n_chars >= 50)).alias("keep"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish subword-regex token count
+    (letter runs / digit runs / single punctuation, the GPT-2-style split)."""
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return documents.select("doc_id", ws.alias("ws_tokens"),
+                            bpe.alias("bpe_tokens"))
+
+
+def doc_fingerprints(documents: DataFrame) -> DataFrame:
+    """Stable content fingerprint: md5 of casefolded, whitespace-collapsed
+    text (the cheap exact-canonical fingerprint; MinHash above is the fuzzy
+    one)."""
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return documents.select("doc_id", F.md5(norm).alias("fingerprint"))

@@ -1,0 +1,52 @@
+"""Generate the repo's committed KG data artifacts (deterministic):
+
+- data/pages.parquet        : synthetic+reference pages table (FIXTURES.md §1)
+- data/lcsh.parquet         : LCSH label→URI dimension
+- data/golden_edges.parquet : deduplicated golden triple set (pure-Python net
+                              effect, olkg.golden — the DuckDB oracle source)
+
+Run: python scripts/gen_data.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from olkg.fixtures import LCSH_ROWS, corpus_lines
+from olkg.golden import golden_triples
+from olkg.pagesgen import pages_rows
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "data")
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    lines = corpus_lines(include_reference=True)
+
+    rows = pages_rows(lines)
+    pages = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    pages_tbl = pa.Table.from_pandas(pages, schema=pa.schema([
+        ("url", pa.string()), ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string()),
+    ]))
+    pq.write_table(pages_tbl, os.path.join(OUT, "pages.parquet"))
+
+    lcsh = pd.DataFrame(LCSH_ROWS, columns=["label", "uri"])
+    pq.write_table(pa.Table.from_pandas(lcsh),
+                   os.path.join(OUT, "lcsh.parquet"))
+
+    golden = sorted(golden_triples(lines, dict(LCSH_ROWS)))
+    gdf = pd.DataFrame(golden, columns=["subj", "pred", "obj", "obj_kind",
+                                        "obj_datatype"])
+    pq.write_table(pa.Table.from_pandas(gdf),
+                   os.path.join(OUT, "golden_edges.parquet"))
+    print(f"pages={len(pages)} lcsh={len(lcsh)} golden_triples={len(gdf)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Driver-contract tests: every queries() entry runs; every oracle_sql()
+entry produces the identical result set in DuckDB (the same comparison the
+verify driver performs: column names + row count + order-insensitive values).
+Runs at sf0.001 for speed; the driver uses sf0.01."""
+
+import math
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, Decimal):
+        return f"{v.normalize():f}" if v != 0 else "0"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.12g}"
+    if isinstance(v, bool):
+        return str(bool(v))
+    return str(v)
+
+
+def _normalize(df, cols):
+    rows = [tuple(_norm_cell(r[c]) for c in cols) for _, r in df.iterrows()]
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_runs_and_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_pd = sdf.toPandas()
+    assert spark_pd is not None
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        # rows-only contract: runs, schema stable, deterministic re-run
+        again = q(spark, SF_DIR).toPandas()
+        assert list(spark_pd.columns) == list(again.columns)
+        assert len(spark_pd) == len(again)
+        return
+    duck_pd = ddb.execute(oracle).fetchdf()
+    s_cols = sorted(spark_pd.columns)
+    d_cols = sorted(duck_pd.columns)
+    assert s_cols == d_cols, f"{name}: columns {s_cols} != {d_cols}"
+    assert len(spark_pd) == len(duck_pd), (
+        f"{name}: rows {len(spark_pd)} != {len(duck_pd)}")
+    s_rows = _normalize(spark_pd, s_cols)
+    d_rows = _normalize(duck_pd, d_cols)
+    mism = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:3]
+    assert s_rows == d_rows, f"{name}: first mismatches {mism}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"name", "n"}
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """The LSH path must find a reasonable fraction of the true top-5."""
+    from olkg.simsearch import cosine_topk_bruteforce, cosine_topk_lsh
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    bf = {(r.query_id, r.neighbor_id)
+          for r in cosine_topk_bruteforce(emb, list(range(10)), k=5).collect()}
+    lsh = {(r.query_id, r.neighbor_id)
+           for r in cosine_topk_lsh(emb, list(range(10)), k=5,
+                                    num_planes=4, num_tables=6).collect()}
+    assert len(bf) == 50
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.3, f"LSH recall {recall} suspiciously low"
+
+
+def test_multimodal_decode_stub_raises():
+    from olkg.multimodal import decode_stub
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\x89PNG", "image/png")
