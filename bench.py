@@ -1,0 +1,118 @@
+"""Benchmark harness.
+
+Headline: the end-to-end KG pipeline (extract → link → canonicalize →
+materialize) on a bench-scale synthetic pages corpus derived from the fixture
+records (clone-scaled to the sf), reported as triples/sec.  Secondary: wall
+time per corpus-ops query on the sf tables.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, ...extra kg stats}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), OLKG_BENCH_CLONES (override corpus scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# pages-per-sf: 30 fixture records cloned to ~sf*600k pages
+_SF_CLONES = {"0.001": 20, "0.01": 200, "0.1": 2000}
+
+
+def _sf_name() -> str:
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def ensure_bench_pages(spark, sf: str) -> str:
+    """Build (once) the clone-scaled pages parquet for this sf, with a mild
+    hot-author skew so the salted join path is exercised."""
+    clones = int(os.environ.get("OLKG_BENCH_CLONES",
+                                _SF_CLONES.get(sf, 200)))
+    path = os.path.join(tempfile.gettempdir(), f"olkg_bench_pages_{sf}_{clones}")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    from olkg.fixtures import corpus_lines
+    from olkg.pagesgen import build_pages_df_distributed
+    lines = corpus_lines(include_reference=True)
+    df = build_pages_df_distributed(
+        spark, lines, clones=clones, rewrite_refs=True,
+        skew_hot_author="/authors/HOT1A", skew_fraction=0.1,
+        partitions=max(CPUS * 2, 16))
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf = _sf_name()
+    from olkg.session import build_session
+    spark = build_session(
+        app_name="olkg-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(2 * CPUS, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    t_total = time.time()
+
+    # --- headline: end-to-end KG pipeline ---------------------------------
+    pages_path = ensure_bench_pages(spark, sf)
+    out_dir = tempfile.mkdtemp(prefix="olkg_bench_out_")
+    from olkg.pipeline import run_pipeline
+    lcsh = spark.read.parquet(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", "lcsh.parquet"))
+    t0 = time.time()
+    m = run_pipeline(spark, pages_path, out_dir, lcsh=lcsh, resume=False,
+                     hot_threshold=50_000, num_salts=16,
+                     with_canonical_map=True, export_nt=False)
+    queries["kg_pipeline"] = round(time.time() - t0, 3)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # --- corpus ops on the sf tables ---------------------------------------
+    import __spark_entry__ as entry
+
+    bench_queries = [
+        "doc_dedup_exact", "doc_fingerprints", "doc_token_counts",
+        "doc_quality", "doc_lang_id", "doc_ngram_jaccard", "doc_minhash_lsh",
+        "doc_simhash_pairs", "ann_cosine_topk", "ann_lsh_topk",
+        "multimodal_features", "events_hourly", "agg_pricing_summary",
+        "join_revenue_by_nation",
+    ]
+    qmap = entry.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        qmap[name](spark, SF_DIR).count()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_total, 3)
+    result = {
+        "metric": "e2e_sec (kg pipeline + corpus ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "kg_pages": m["pages"],
+        "kg_triples": m["triples"],
+        "kg_triples_per_sec": round(m["triples"] / queries["kg_pipeline"], 1),
+        "kg_text_mismatches": m["text_mismatches"],
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -64,87 +64,87 @@ def blocking_keys(edges: DataFrame, author_names: DataFrame | None = None,
 
 def _author_name_bands(author_names: DataFrame, num_bands: int,
                        band_rows: int) -> DataFrame:
-    """MinHash-LSH band keys for author names: shingle each name into char
-    3-grams, take per-permutation min hashes, group into bands; two names
-    sharing any band land in one block."""
-    import hashlib
-
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, StringType
-
+    """MinHash-LSH band keys for author names, entirely in native
+    expressions (JVM-side, codegen): casefold+strip → char-3-gram array →
+    per-permutation min of xxhash64(perm|gram) → per-band signature hash.
+    Two names sharing any band land in one block."""
     n_perm = num_bands * band_rows
-
-    # note: no type hints — `from __future__ import annotations` would turn
-    # them into strings pyspark can't resolve; returnType carries the schema
-    @pandas_udf(ArrayType(StringType()))
-    def bands_udf(names):
-        out = []
-        for name in names:
-            if not name:
-                out.append([])
-                continue
-            s = "".join(ch.lower() for ch in name if ch.isalnum())
-            grams = {s[i:i + 3] for i in range(max(1, len(s) - 2))}
-            mins = []
-            for p in range(n_perm):
-                best = None
-                for g in grams:
-                    h = int.from_bytes(
-                        hashlib.blake2b(f"{p}|{g}".encode(),
-                                        digest_size=8).digest(), "big")
-                    if best is None or h < best:
-                        best = h
-                mins.append(best or 0)
-            out.append([
-                f"nameband:{b}:" + hashlib.blake2b(
-                    "|".join(str(m) for m in
-                             mins[b * band_rows:(b + 1) * band_rows]).encode(),
-                    digest_size=8).hexdigest()
-                for b in range(num_bands)
-            ])
-        return pd.Series(out)
-
     per_author = (author_names
                   .select(F.col("author_key"), F.col("name"))
                   .dropDuplicates())
-    return (per_author
-            .withColumn("band", F.explode(bands_udf(F.col("name"))))
+    norm = F.lower(F.regexp_replace(F.col("name"), r"[^A-Za-z0-9]", ""))
+    n_grams = F.greatest(F.length(norm) - F.lit(2), F.lit(1))
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: norm.substr(i, F.lit(3))))
+    with_grams = per_author.select(
+        "author_key",
+        F.explode(grams).alias("gram")).filter(F.col("gram") != "")
+    perms = F.sequence(F.lit(0), F.lit(n_perm - 1))
+    hashed = (with_grams
+              .select("author_key", F.explode(perms).alias("perm"), "gram")
+              .select("author_key", "perm",
+                      F.xxhash64(F.concat(F.col("perm").cast("string"),
+                                          F.lit("|"),
+                                          F.col("gram"))).alias("h")))
+    minh = hashed.groupBy("author_key", "perm").agg(F.min("h").alias("mh"))
+    banded = (minh
+              .withColumn("band", (F.col("perm") / band_rows).cast("int"))
+              .groupBy("author_key", "band")
+              .agg(F.sort_array(F.collect_list(F.struct("perm", "mh")))
+                   .alias("sig"))
+              .select("author_key",
+                      F.concat(F.lit("nameband:"),
+                               F.col("band").cast("string"), F.lit(":"),
+                               F.xxhash64(F.to_json("sig")).cast("string"))
+                      .alias("block_key")))
+    return (banded
             .select(F.concat(F.lit(V.URI_PREFIX),
                              F.col("author_key")).alias("entity"),
-                    F.col("band").alias("block_key"))
+                    "block_key")
             .dropDuplicates())
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Hash-min label propagation over the bipartite (entity, block_key)
     graph.  Returns (entity, canonical_id) for every entity that has at least
-    one block key.  Converges in O(component diameter) iterations; each
-    iteration is two key-partitioned aggregations."""
-    pairs = pairs.dropDuplicates(["entity", "block_key"]).cache()
-    labels = pairs.select("entity").distinct() \
-                  .withColumn("label", F.col("entity"))
+    one *merge-capable* block key (df ≥ 2); singleton-key entities are their
+    own canonical id and are omitted (identity).
+
+    Each iteration is two key-partitioned aggregations; ``localCheckpoint``
+    truncates the lineage so iteration cost stays flat.  Convergence is
+    O(component diameter) — identifier blocks are stars, so 2-3 iterations
+    in practice."""
+    spark = pairs.sparkSession
+    pairs = pairs.dropDuplicates(["entity", "block_key"])
+    # only keys shared by ≥2 entities can merge anything — this drops the
+    # (at web scale, vast) unique-identifier majority before the loop
+    mergeable = (pairs.groupBy("block_key")
+                 .agg(F.count(F.lit(1)).alias("df"))
+                 .filter(F.col("df") >= 2)
+                 .select("block_key"))
+    pairs = pairs.join(mergeable, "block_key").localCheckpoint(eager=True)
+    labels = (pairs.select("entity").distinct()
+              .withColumn("label", F.col("entity"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iter):
-        # key side: min label among the key's entities
         key_min = (pairs.join(labels, "entity")
                    .groupBy("block_key")
                    .agg(F.min("label").alias("key_label")))
-        # entity side: min over its keys' labels (and its own)
         new_labels = (pairs.join(key_min, "block_key")
                       .groupBy("entity")
                       .agg(F.min("key_label").alias("prop_label"))
                       .join(labels, "entity")
                       .select("entity",
                               F.least("prop_label", "label").alias("new_label"),
-                              "label"))
-        changed = new_labels.filter(F.col("new_label") != F.col("label")).limit(1)
-        labels_next = new_labels.select("entity",
-                                        F.col("new_label").alias("label"))
-        if changed.count() == 0:
-            labels = labels_next
+                              "label")
+                      .localCheckpoint(eager=True))
+        changed = new_labels.filter(
+            F.col("new_label") != F.col("label")).limit(1).count()
+        labels = new_labels.select("entity",
+                                   F.col("new_label").alias("label"))
+        if changed == 0:
             break
-        labels = labels_next.cache()
-    pairs.unpersist()
     return labels.withColumnRenamed("label", "canonical_id")
 
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 import json
 from datetime import datetime, timezone
 
+from pyspark.sql import functions as F
+
 _HTML_PREFIX = b"<html><body><pre>"
 _HTML_SUFFIX = b"</pre></body></html>"
 
@@ -117,6 +119,59 @@ def pages_rows(lines: list[str], clones: int = 1, rewrite_refs: bool = True,
 def build_pages_df(spark, lines: list[str], **kwargs):
     from .schema import PAGES_SCHEMA
     return spark.createDataFrame(pages_rows(lines, **kwargs), PAGES_SCHEMA)
+
+
+def build_pages_df_distributed(spark, lines: list[str], clones: int,
+                               rewrite_refs: bool = True,
+                               skew_hot_author: str | None = None,
+                               skew_fraction: float = 0.0,
+                               partitions: int | None = None):
+    """Clone-scale the corpus *on the executors*: cross the base lines with a
+    ``spark.range(clones)`` and rewrite keys inside an Arrow-batched UDF, so
+    corpora of millions of pages never pass through the driver."""
+    from .schema import PAGES_SCHEMA
+
+    base = spark.createDataFrame([(l,) for l in lines], "line string")
+    idx = spark.range(clones).withColumnRenamed("id", "clone")
+    if partitions:
+        idx = idx.repartition(partitions)
+    crossed = idx.crossJoin(F.broadcast(base))
+
+    skew_every = int(round(1.0 / skew_fraction)) if skew_fraction else 0
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for line, clone in zip(pdf["line"], pdf["clone"]):
+                parts = line.split("\t")
+                if len(parts) < 5:
+                    continue
+                rtype, _k, rev, date = parts[0], parts[1], parts[2], parts[3]
+                try:
+                    data = json.loads(parts[4])
+                except ValueError:
+                    continue
+                ts = _parse_ts(date)
+                i = int(clone)
+                if i == 0:
+                    out_line, key = line, data.get("key", "")
+                else:
+                    d = _rewrite_keys(data, f"_c{i}", rewrite_refs)
+                    if (skew_hot_author
+                            and rtype in ("/type/edition", "/type/work")
+                            and skew_every and i % skew_every == 0):
+                        _set_author_refs(d, skew_hot_author)
+                    key = d.get("key", "")
+                    out_line = "\t".join([rtype, key, rev, date,
+                                          json.dumps(d, ensure_ascii=False,
+                                                     separators=(", ", ": "))])
+                rows.append(("http://openlibrary.org" + key, ts,
+                             text_to_html(out_line), out_line, "en"))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html",
+                                              "text", "lang"])
+
+    return crossed.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
 def write_pages_parquet(spark, lines: list[str], path: str,

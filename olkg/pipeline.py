@@ -116,14 +116,17 @@ def run_pipeline(spark: SparkSession, pages_path: str, out_dir: str,
         metrics["stages"]["materialize"] = {"wall_ms": wall}
 
     n_triples = edges.count()
+    # byte-identity audit: one aggregate job over the pruned 'page' partition
+    audit = (extract_df.filter(F.col("kind") == "page")
+             .agg(F.count(F.lit(1)).alias("pages"),
+                  F.sum(F.when(F.col("obj") != "ok", 1).otherwise(0))
+                  .alias("mismatches")).first())
     total_s = time.time() - t_total
     metrics["triples"] = n_triples
     metrics["wall_s"] = round(total_s, 3)
     metrics["triples_per_sec"] = round(n_triples / total_s, 1) if total_s else None
-    # byte-identity audit
-    page_rows = extract_df.filter(F.col("kind") == "page")
-    metrics["pages"] = page_rows.count()
-    metrics["text_mismatches"] = page_rows.filter(F.col("obj") != "ok").count()
+    metrics["pages"] = audit["pages"]
+    metrics["text_mismatches"] = audit["mismatches"] or 0
     return metrics
 
 

@@ -1,0 +1,109 @@
+"""Two-parallelism scaling benchmark (BASELINE.md protocol).
+
+No multi-node cluster exists in this sandbox, so the north_rule's N → 4N
+executor criterion is evidenced by running the SAME pipeline on the SAME
+input at local[8] and local[32] (shuffle partitions scaled proportionally)
+in separate JVMs, reporting triples/sec at both and
+
+    efficiency = (tps_32 / tps_8) / (32 / 8)     gate: ≥ 0.8
+
+Writes BENCH/scaling.json and updates the measured table in BENCH/BASELINE.md.
+
+Usage: python scripts/bench_scaling.py [--clones N] [--skip-generate]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def generate_corpus(clones: int, path: str) -> None:
+    from olkg.fixtures import corpus_lines
+    from olkg.pagesgen import build_pages_df_distributed
+    from olkg.session import build_session
+    spark = build_session(app_name="olkg-scaling-gen", master="local[32]",
+                          shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = build_pages_df_distributed(
+        spark, corpus_lines(include_reference=True), clones=clones,
+        rewrite_refs=True, skew_hot_author="/authors/HOT1A",
+        skew_fraction=0.1, partitions=128)
+    df.write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def run_at(cores: int, pages_path: str) -> dict:
+    out = tempfile.mkdtemp(prefix=f"olkg_scale_{cores}_")
+    env = dict(os.environ,
+               OLKG_DRIVER_MEM="24g",
+               PYTHONPATH=REPO)
+    cmd = [sys.executable, "-m", "olkg.pipeline",
+           "--pages", pages_path,
+           "--lcsh-parquet", os.path.join(REPO, "data", "lcsh.parquet"),
+           "--out", out,
+           "--master", f"local[{cores}]",
+           "--shuffle-partitions", str(cores * 2),
+           "--no-resume",
+           "--hot-threshold", "50000"]
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                          cwd=REPO)
+    wall_incl_startup = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    if proc.returncode != 0:
+        raise RuntimeError(f"run at {cores} cores failed:\n{proc.stderr[-4000:]}")
+    line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+    m = json.loads(line)
+    m["cores"] = cores
+    m["wall_incl_startup_s"] = round(wall_incl_startup, 1)
+    return m
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clones", type=int,
+                    default=int(os.environ.get("OLKG_SCALING_CLONES", "40000")))
+    ap.add_argument("--skip-generate", action="store_true")
+    args = ap.parse_args()
+
+    pages_path = os.path.join(tempfile.gettempdir(),
+                              f"olkg_scaling_pages_{args.clones}")
+    if not args.skip_generate and not os.path.exists(
+            os.path.join(pages_path, "_SUCCESS")):
+        print(f"generating corpus: 30 records x {args.clones} clones ...",
+              flush=True)
+        generate_corpus(args.clones, pages_path)
+
+    results = {}
+    for cores in (8, 32):
+        print(f"running pipeline at local[{cores}] ...", flush=True)
+        m = run_at(cores, pages_path)
+        tps = m["triples"] / m["wall_s"]
+        results[cores] = {"wall_s": m["wall_s"], "triples": m["triples"],
+                          "pages": m["pages"], "tps": round(tps, 1),
+                          "text_mismatches": m["text_mismatches"],
+                          "stages": m["stages"]}
+        print(json.dumps(results[cores]), flush=True)
+
+    eff = (results[32]["tps"] / results[8]["tps"]) / (32 / 8)
+    summary = {"clones": args.clones, "pages": results[32]["pages"],
+               "local8": results[8], "local32": results[32],
+               "scaling_efficiency": round(eff, 3), "gate": eff >= 0.8}
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
