@@ -77,31 +77,26 @@ def _author_name_bands(author_names: DataFrame, num_bands: int,
     grams = F.array_distinct(F.transform(
         F.sequence(F.lit(1), n_grams),
         lambda i: norm.substr(i, F.lit(3))))
-    with_grams = per_author.select(
+    # hash each gram ONCE; the p-th permutation hash is a cheap remix
+    # xxhash64(gram_hash, p) computed as p aggregate columns — one shuffle of
+    # the gram rows, no p-fold explosion before the min
+    with_grams = (per_author.select(
         "author_key",
-        F.explode(grams).alias("gram")).filter(F.col("gram") != "")
-    perms = F.sequence(F.lit(0), F.lit(n_perm - 1))
-    hashed = (with_grams
-              .select("author_key", F.explode(perms).alias("perm"), "gram")
-              .select("author_key", "perm",
-                      F.xxhash64(F.concat(F.col("perm").cast("string"),
-                                          F.lit("|"),
-                                          F.col("gram"))).alias("h")))
-    minh = hashed.groupBy("author_key", "perm").agg(F.min("h").alias("mh"))
-    banded = (minh
-              .withColumn("band", (F.col("perm") / band_rows).cast("int"))
-              .groupBy("author_key", "band")
-              .agg(F.sort_array(F.collect_list(F.struct("perm", "mh")))
-                   .alias("sig"))
-              .select("author_key",
-                      F.concat(F.lit("nameband:"),
-                               F.col("band").cast("string"), F.lit(":"),
-                               F.xxhash64(F.to_json("sig")).cast("string"))
-                      .alias("block_key")))
-    return (banded
+        F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+        .select("author_key", F.xxhash64("gram").alias("h")))
+    mins = with_grams.groupBy("author_key").agg(
+        *[F.min(F.xxhash64(F.col("h"), F.lit(p))).alias(f"m{p}")
+          for p in range(n_perm)])
+    band_keys = F.array(*[
+        F.concat(F.lit(f"nameband:{b}:"),
+                 F.xxhash64(*[F.col(f"m{b * band_rows + r}")
+                              for r in range(band_rows)]).cast("string"))
+        for b in range(num_bands)])
+    return (mins
             .select(F.concat(F.lit(V.URI_PREFIX),
                              F.col("author_key")).alias("entity"),
-                    "block_key")
+                    F.explode(band_keys).alias("block_key"))
             .dropDuplicates())
 
 
@@ -127,14 +122,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (pairs.select("entity").distinct()
               .withColumn("label", F.col("entity"))
               .localCheckpoint(eager=True))
+    # SHUFFLE_HASH hints: without them AQE broadcasts the (large) labels side
+    # to every task each iteration, turning the loop driver-bound — the
+    # iterations must stay shuffle-partitioned to scale with cores
     for _ in range(max_iter):
-        key_min = (pairs.join(labels, "entity")
+        key_min = (pairs.join(labels.hint("SHUFFLE_HASH"), "entity")
                    .groupBy("block_key")
                    .agg(F.min("label").alias("key_label")))
-        new_labels = (pairs.join(key_min, "block_key")
+        new_labels = (pairs.join(key_min.hint("SHUFFLE_HASH"), "block_key")
                       .groupBy("entity")
                       .agg(F.min("key_label").alias("prop_label"))
-                      .join(labels, "entity")
+                      .join(labels.hint("SHUFFLE_HASH"), "entity")
                       .select("entity",
                               F.least("prop_label", "label").alias("new_label"),
                               "label")

@@ -130,6 +130,69 @@ def run_pipeline(spark: SparkSession, pages_path: str, out_dir: str,
     return metrics
 
 
+def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
+                      lcsh: DataFrame | None = None,
+                      hot_threshold: int = 100_000,
+                      num_salts: int = 16,
+                      repartition_by_url: int | None = None,
+                      with_canonical_map: bool = True) -> dict:
+    """Single-materialization variant: stages chain in memory (extract output
+    persisted once, MEMORY_AND_DISK) and only the final graph tables are
+    written.  Used for throughput/scaling measurement where intermediate
+    durability is not wanted; ``run_pipeline`` is the durable, resumable
+    path.  On a real cluster the two converge: intermediate checkpoints go to
+    per-executor/HDFS storage that scales with the cluster, unlike this
+    sandbox's single shared disk."""
+    from pyspark import StorageLevel
+
+    os.makedirs(out_dir, exist_ok=True)
+    run_id = uuid.uuid4().hex[:12]
+    metrics: dict = {"run_id": run_id, "stages": {}, "mode": "fast"}
+    t_total = time.time()
+
+    pages = spark.read.parquet(pages_path)
+    ext = extract_pages(pages, repartition_by_url=repartition_by_url)
+    ext = ext.persist(StorageLevel.MEMORY_AND_DISK)
+
+    linked = link_stage(ext, lcsh, hot_threshold=hot_threshold,
+                        num_salts=num_salts)
+    edges = dedup_edges(linked)
+    t0 = time.time()
+    write_stage(edges, out_dir, "edges")
+    metrics["stages"]["extract_link_dedup"] = {
+        "wall_ms": int((time.time() - t0) * 1000)}
+    edges = read_stage(spark, out_dir, "edges")
+    append_lineage(spark, out_dir, run_id, "edges", edges,
+                   metrics["stages"]["extract_link_dedup"]["wall_ms"])
+
+    if with_canonical_map:
+        t0 = time.time()
+        names = (ext.filter(F.col("kind") == "author_name")
+                 .select(F.col("subj").alias("author_key"),
+                         F.col("obj").alias("name")))
+        write_stage(canonical_map(edges, names), out_dir, "canonical_map")
+        metrics["stages"]["canonical_map"] = {
+            "wall_ms": int((time.time() - t0) * 1000)}
+
+    t0 = time.time()
+    write_stage(build_nodes(edges), out_dir, "nodes")
+    metrics["stages"]["materialize"] = {
+        "wall_ms": int((time.time() - t0) * 1000)}
+
+    n_triples = edges.count()
+    audit = (ext.filter(F.col("kind") == "page")
+             .agg(F.count(F.lit(1)).alias("pages"),
+                  F.sum(F.when(F.col("obj") != "ok", 1).otherwise(0))
+                  .alias("mismatches")).first())
+    ext.unpersist()
+    total_s = time.time() - t_total
+    metrics.update(triples=n_triples, wall_s=round(total_s, 3),
+                   triples_per_sec=round(n_triples / total_s, 1),
+                   pages=audit["pages"],
+                   text_mismatches=audit["mismatches"] or 0)
+    return metrics
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="olkg KG-construction pipeline")
     ap.add_argument("--pages", required=True, help="pages parquet path")
@@ -139,6 +202,9 @@ def main(argv=None):
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="single-materialization mode (no intermediate "
+                         "checkpoints); for throughput measurement")
     ap.add_argument("--hot-threshold", type=int, default=100_000)
     ap.add_argument("--num-salts", type=int, default=16)
     ap.add_argument("--repartition-by-url", type=int, default=None)
@@ -153,11 +219,17 @@ def main(argv=None):
     elif args.lcsh_nt:
         from .link import load_lcsh_ntriples
         lcsh = load_lcsh_ntriples(spark, args.lcsh_nt)
-    metrics = run_pipeline(spark, args.pages, args.out, lcsh=lcsh,
-                           resume=not args.no_resume,
-                           hot_threshold=args.hot_threshold,
-                           num_salts=args.num_salts,
-                           repartition_by_url=args.repartition_by_url)
+    if args.fast:
+        metrics = run_pipeline_fast(spark, args.pages, args.out, lcsh=lcsh,
+                                    hot_threshold=args.hot_threshold,
+                                    num_salts=args.num_salts,
+                                    repartition_by_url=args.repartition_by_url)
+    else:
+        metrics = run_pipeline(spark, args.pages, args.out, lcsh=lcsh,
+                               resume=not args.no_resume,
+                               hot_threshold=args.hot_threshold,
+                               num_salts=args.num_salts,
+                               repartition_by_url=args.repartition_by_url)
     print(json.dumps(metrics))
     spark.stop()
 

@@ -39,6 +39,13 @@ def build_session(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("OLKG_DRIVER_MEM", "8g"))
+        # input split sizing: the default 128 MB coalesces a medium local
+        # corpus into fewer splits than cores, serializing the extract stage;
+        # 16 MB keeps scan parallelism ≥ cores at bench scale while remaining
+        # a no-op for genuinely large inputs
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("OLKG_MAX_PARTITION_BYTES", "16m"))
+        .config("spark.sql.files.openCostInBytes", "1m")
     )
     if shuffle_partitions is None:
         # default: match default parallelism at local scale; clusters should

@@ -104,19 +104,18 @@ def minhash_lsh_candidates(documents: DataFrame, n: int = 3,
     a literal seq, min-aggregated per (doc, perm); deterministic."""
     rows_per_band = num_perm // bands
     sh = _shingles(documents, n)
-    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
-    hashed = (sh.select("doc_id", F.explode(perms).alias("perm"), "shingle")
-              .select("doc_id", "perm",
-                      F.xxhash64(F.concat(F.col("perm").cast("string"),
-                                          F.lit("|"), F.col("shingle"))).alias("h")))
-    minh = hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("mh"))
-    banded = (minh.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-              .groupBy("doc_id", "band")
-              .agg(F.sort_array(F.collect_list(F.struct("perm", "mh")))
-                   .alias("sig"))
-              .select("doc_id", "band",
-                      F.xxhash64(F.col("band").cast("string"),
-                                 F.to_json("sig")).alias("bucket")))
+    # hash each shingle once; permutation p = remix xxhash64(h, p) as an
+    # aggregate column — one shuffle, no num_perm-fold row explosion
+    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("h"), F.lit(p))).alias(f"m{p}")
+          for p in range(num_perm)])
+    buckets = F.array(*[
+        F.concat(F.lit(f"{b}:"),
+                 F.xxhash64(*[F.col(f"m{b * rows_per_band + r}")
+                              for r in range(rows_per_band)]).cast("string"))
+        for b in range(bands)])
+    banded = mins.select("doc_id", F.explode(buckets).alias("bucket"))
     l = banded.select(F.col("doc_id").alias("doc_a"), "bucket")
     r = banded.select(F.col("doc_id").alias("doc_b"), "bucket")
     return (l.join(r, "bucket")

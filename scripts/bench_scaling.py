@@ -54,7 +54,11 @@ def run_at(cores: int, pages_path: str) -> dict:
            "--master", f"local[{cores}]",
            "--shuffle-partitions", str(cores * 2),
            "--no-resume",
-           "--hot-threshold", "50000"]
+           "--fast",
+           "--hot-threshold", "50000",
+           # north_rule: repartition pages by url-hash; also guarantees the
+           # narrow extract stage has ≥ cores input partitions
+           "--repartition-by-url", str(cores * 2)]
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
                           cwd=REPO)

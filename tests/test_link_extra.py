@@ -1,0 +1,55 @@
+"""S2 LCSH loader and N-Triples formatting details."""
+
+from pyspark.sql import functions as F
+
+
+def test_lcsh_loader(spark, tmp_path):
+    """lib/util.rb:25-34 semantics: label-predicate filter, URI subjects,
+    /authorities/sj exclusion, last-writer-wins."""
+    from olkg.link import load_lcsh_ntriples
+    nt = "\n".join([
+        '<http://id.loc.gov/authorities/subjects/sh1> '
+        '<http://www.w3.org/2004/02/skos/core#prefLabel> "History" .',
+        '<http://id.loc.gov/authorities/subjects/sh2> '
+        '<http://www.w3.org/2004/02/skos/core#altLabel> "Histories" .',
+        # same label again, later wins
+        '<http://id.loc.gov/authorities/subjects/sh3> '
+        '<http://www.w3.org/2004/02/skos/core#prefLabel> "History" .',
+        # authoritativeLabel predicate accepted
+        '<http://id.loc.gov/authorities/names/n1> '
+        '<http://www.loc.gov/mads/rdf/v1#authoritativeLabel> "Canada" .',
+        # children's subjects excluded by object match
+        '<http://id.loc.gov/authorities/subjects/sh4> '
+        '<http://www.w3.org/2004/02/skos/core#prefLabel> '
+        '"x/authorities/sj-like" .',
+        # non-label predicate ignored
+        '<http://id.loc.gov/authorities/subjects/sh5> '
+        '<http://www.w3.org/2004/02/skos/core#broader> "Nope" .',
+    ])
+    p = tmp_path / "lcsh.nt"
+    p.write_text(nt)
+    dim = {r.label: r.uri for r in load_lcsh_ntriples(spark, str(p)).collect()}
+    assert dim["History"] == "http://id.loc.gov/authorities/subjects/sh3"
+    assert dim["Histories"] == "http://id.loc.gov/authorities/subjects/sh2"
+    assert dim["Canada"] == "http://id.loc.gov/authorities/names/n1"
+    assert "x/authorities/sj-like" not in dim
+    assert "Nope" not in dim
+
+
+def test_ntriples_escaping(spark):
+    from olkg.materialize import ntriples_lines
+    from olkg.schema import TRIPLES_SCHEMA
+    edges = spark.createDataFrame([
+        ("http://e/s", "http://e/p", 'he said "hi"\nback\\slash', "literal", None),
+        ("_:b1", "http://e/p", "http://e/o", "uri", None),
+        ("http://e/s", "http://e/p", "2009-10-15T15:17:23+00:00", "literal",
+         "http://www.w3.org/2001/XMLSchema#dateTime"),
+        ("http://e/s", "http://e/p", "_:b2", "bnode", None),
+    ], TRIPLES_SCHEMA)
+    lines = {r.value for r in ntriples_lines(edges).collect()}
+    assert ('<http://e/s> <http://e/p> "he said \\"hi\\"\\nback\\\\slash" .'
+            in lines)
+    assert "_:b1 <http://e/p> <http://e/o> ." in lines
+    assert ('<http://e/s> <http://e/p> "2009-10-15T15:17:23+00:00"'
+            '^^<http://www.w3.org/2001/XMLSchema#dateTime> .' in lines)
+    assert "<http://e/s> <http://e/p> _:b2 ." in lines
