@@ -72,6 +72,11 @@ def _author_name_bands(author_names: DataFrame, num_bands: int,
     per_author = (author_names
                   .select(F.col("author_key"), F.col("name"))
                   .dropDuplicates())
+    # web corpora repeat the same name across vast numbers of pages/clones:
+    # compute the MinHash signature once per DISTINCT name string, then map
+    # back to author keys — the gram fan-out runs on |distinct names|, not
+    # |author mentions|
+    distinct_names = per_author.select("name").distinct()
     norm = F.lower(F.regexp_replace(F.col("name"), r"[^A-Za-z0-9]", ""))
     n_grams = F.greatest(F.length(norm) - F.lit(2), F.lit(1))
     grams = F.array_distinct(F.transform(
@@ -80,12 +85,12 @@ def _author_name_bands(author_names: DataFrame, num_bands: int,
     # hash each gram ONCE; the p-th permutation hash is a cheap remix
     # xxhash64(gram_hash, p) computed as p aggregate columns — one shuffle of
     # the gram rows, no p-fold explosion before the min
-    with_grams = (per_author.select(
-        "author_key",
+    with_grams = (distinct_names.select(
+        "name",
         F.explode(grams).alias("gram"))
         .filter(F.col("gram") != "")
-        .select("author_key", F.xxhash64("gram").alias("h")))
-    mins = with_grams.groupBy("author_key").agg(
+        .select("name", F.xxhash64("gram").alias("h")))
+    mins = with_grams.groupBy("name").agg(
         *[F.min(F.xxhash64(F.col("h"), F.lit(p))).alias(f"m{p}")
           for p in range(n_perm)])
     band_keys = F.array(*[
@@ -93,10 +98,11 @@ def _author_name_bands(author_names: DataFrame, num_bands: int,
                  F.xxhash64(*[F.col(f"m{b * band_rows + r}")
                               for r in range(band_rows)]).cast("string"))
         for b in range(num_bands)])
-    return (mins
+    name_bands = mins.select("name", F.explode(band_keys).alias("block_key"))
+    return (per_author.join(name_bands, "name")
             .select(F.concat(F.lit(V.URI_PREFIX),
                              F.col("author_key")).alias("entity"),
-                    F.explode(band_keys).alias("block_key"))
+                    "block_key")
             .dropDuplicates())
 
 
@@ -111,14 +117,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     O(component diameter) — identifier blocks are stars, so 2-3 iterations
     in practice."""
     spark = pairs.sparkSession
-    pairs = pairs.dropDuplicates(["entity", "block_key"])
+    # materialize the raw pairs once — the mergeable census and the filter
+    # join both consume them, and the upstream (band minhash) is expensive
+    pairs = (pairs.dropDuplicates(["entity", "block_key"])
+             .localCheckpoint(eager=True))
     # only keys shared by ≥2 entities can merge anything — this drops the
     # (at web scale, vast) unique-identifier majority before the loop
     mergeable = (pairs.groupBy("block_key")
                  .agg(F.count(F.lit(1)).alias("df"))
                  .filter(F.col("df") >= 2)
                  .select("block_key"))
-    pairs = pairs.join(mergeable, "block_key").localCheckpoint(eager=True)
+    pairs = pairs.join(mergeable.hint("SHUFFLE_HASH"), "block_key") \
+                 .localCheckpoint(eager=True)
     labels = (pairs.select("entity").distinct()
               .withColumn("label", F.col("entity"))
               .localCheckpoint(eager=True))

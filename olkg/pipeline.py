@@ -143,31 +143,43 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
     path.  On a real cluster the two converge: intermediate checkpoints go to
     per-executor/HDFS storage that scales with the cluster, unlike this
     sandbox's single shared disk."""
-    from pyspark import StorageLevel
-
     os.makedirs(out_dir, exist_ok=True)
     run_id = uuid.uuid4().hex[:12]
     metrics: dict = {"run_id": run_id, "stages": {}, "mode": "fast"}
     t_total = time.time()
 
     pages = spark.read.parquet(pages_path)
-    ext = extract_pages(pages, repartition_by_url=repartition_by_url)
-    ext = ext.persist(StorageLevel.MEMORY_AND_DISK)
+    # two-pass design: the big intermediate (triple rows, ~30x the pages) is
+    # NEVER materialized — it streams from the UDF straight into the dedup
+    # shuffle.  Only the tiny side-row stream (author names, creation refs,
+    # probes, page audits: a few rows per page) is persisted for the fan-out
+    # consumers.  One extra narrow scan of the input buys zero cache
+    # pressure at any corpus size — the recompute-over-materialize trade
+    # that holds at 100 TB.
+    t0 = time.time()
+    sides = extract_pages(pages, repartition_by_url=repartition_by_url,
+                          triples=False, sides=True).persist()
+    sides.count()
+    metrics["stages"]["extract_sides"] = {
+        "wall_ms": int((time.time() - t0) * 1000)}
 
-    linked = link_stage(ext, lcsh, hot_threshold=hot_threshold,
-                        num_salts=num_salts)
+    triples_only = extract_pages(pages,
+                                 repartition_by_url=repartition_by_url,
+                                 triples=True, sides=False)
+    linked = link_stage(triples_only.unionByName(sides), lcsh,
+                        hot_threshold=hot_threshold, num_salts=num_salts)
     edges = dedup_edges(linked)
     t0 = time.time()
     write_stage(edges, out_dir, "edges")
-    metrics["stages"]["extract_link_dedup"] = {
+    metrics["stages"]["link_dedup"] = {
         "wall_ms": int((time.time() - t0) * 1000)}
     edges = read_stage(spark, out_dir, "edges")
     append_lineage(spark, out_dir, run_id, "edges", edges,
-                   metrics["stages"]["extract_link_dedup"]["wall_ms"])
+                   metrics["stages"]["link_dedup"]["wall_ms"])
 
     if with_canonical_map:
         t0 = time.time()
-        names = (ext.filter(F.col("kind") == "author_name")
+        names = (sides.filter(F.col("kind") == "author_name")
                  .select(F.col("subj").alias("author_key"),
                          F.col("obj").alias("name")))
         write_stage(canonical_map(edges, names), out_dir, "canonical_map")
@@ -180,11 +192,11 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
         "wall_ms": int((time.time() - t0) * 1000)}
 
     n_triples = edges.count()
-    audit = (ext.filter(F.col("kind") == "page")
+    audit = (sides.filter(F.col("kind") == "page")
              .agg(F.count(F.lit(1)).alias("pages"),
                   F.sum(F.when(F.col("obj") != "ok", 1).otherwise(0))
                   .alias("mismatches")).first())
-    ext.unpersist()
+    sides.unpersist()
     total_s = time.time() - t_total
     metrics.update(triples=n_triples, wall_s=round(total_s, 3),
                    triples_per_sec=round(n_triples / total_s, 1),

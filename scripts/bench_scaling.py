@@ -44,8 +44,12 @@ def generate_corpus(clones: int, path: str) -> None:
 
 def run_at(cores: int, pages_path: str) -> dict:
     out = tempfile.mkdtemp(prefix=f"olkg_scale_{cores}_")
+    # fixed moderate heap at every level: on this VM, JVM heaps ≥32g degrade
+    # throughput 2-3x (host-side page backing; measured local[16] 118 s @16g
+    # vs >290 s @32g on identical input) — and a constant heap also keeps
+    # memory out of the compared variables
     env = dict(os.environ,
-               OLKG_DRIVER_MEM="24g",
+               OLKG_DRIVER_MEM="16g",
                PYTHONPATH=REPO)
     cmd = [sys.executable, "-m", "olkg.pipeline",
            "--pages", pages_path,
@@ -89,7 +93,11 @@ def main():
         generate_corpus(args.clones, pages_path)
 
     results = {}
-    for cores in (8, 32):
+    # N=4 vs 4N=16: the UDF stage runs a JVM task thread + a Python worker
+    # per slot, so local[32] would put 64 runnable threads on this 32-CPU box
+    # and measure oversubscription, not scaling (memory/CPU experiments in
+    # BENCH/BASELINE.md).  4 and 16 both fit: parallelism is the only delta.
+    for cores in (4, 16):
         print(f"running pipeline at local[{cores}] ...", flush=True)
         m = run_at(cores, pages_path)
         tps = m["triples"] / m["wall_s"]
@@ -99,9 +107,10 @@ def main():
                           "stages": m["stages"]}
         print(json.dumps(results[cores]), flush=True)
 
-    eff = (results[32]["tps"] / results[8]["tps"]) / (32 / 8)
-    summary = {"clones": args.clones, "pages": results[32]["pages"],
-               "local8": results[8], "local32": results[32],
+    lo, hi = sorted(results)
+    eff = (results[hi]["tps"] / results[lo]["tps"]) / (hi / lo)
+    summary = {"clones": args.clones, "pages": results[hi]["pages"],
+               f"local{lo}": results[lo], f"local{hi}": results[hi],
                "scaling_efficiency": round(eff, 3), "gate": eff >= 0.8}
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
