@@ -1,11 +1,11 @@
-"""Extract stage: pages DataFrame → unified extract-row DataFrame.
+"""Extract stage: pages DataFrame → triple rows (+ join side rows).
 
 This is the pipeline's single JVM↔Python boundary.  The per-record semantics
 live in :mod:`olkg.triples` (pure Python, spec-tested); this module is only
 its Arrow-batched vectorized wrapper via ``mapInPandas`` — batches stream in
-as Arrow RecordBatches and triple rows stream out columnar, so Python is
-amortized per batch, never per Spark row (the analog of the reference's
-1001-record queue, openlibrary_to_rdf.rb:35-45, minus its tail-drop bug).
+as Arrow RecordBatches and rows stream out columnar, so Python is amortized
+per batch, never per Spark row (the analog of the reference's 1001-record
+queue, openlibrary_to_rdf.rb:35-45, minus its tail-drop bug).
 
 Scale notes (100 TB posture):
 - narrow stage: no shuffle; parallelism = input splits.  Optional
@@ -15,77 +15,205 @@ Scale notes (100 TB posture):
   from the parquet/Iceberg scan.
 - the html→text inversion is audited per page ('page' rows), enforcing the
   byte-identity invariant without a second pass.
+- single-pass mode (:func:`extract_triples_with_side_sink`): the UDF yields
+  the big triple stream straight into the downstream shuffle and writes the
+  small side rows (author names, creation refs, LCSH probes, page audits —
+  a few rows per page) to a parquet side sink from inside the task, so the
+  expensive Python extraction runs EXACTLY ONCE per page and the large
+  intermediate is never materialized.  On a cluster the sink path is shared
+  storage (HDFS/S3 via pyarrow.fs).  Task retries can duplicate sink files;
+  every consumer is duplicate-tolerant (names/refs/probes feed joins whose
+  outputs pass one dropDuplicates; page audits aggregate per distinct url).
 """
 
 from __future__ import annotations
 
+import os
+import uuid
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import vocab as V
 from .pagesgen import html_to_text
-from .schema import EXTRACT_SCHEMA
-from .triples import extract_line, parse_dump_line
+from .schema import EXTRACT_SCHEMA, TRIPLES_SCHEMA
+from .triples import extract_record, parse_dump_line
 
 _COLS = ["kind", "src_type", "url", "subj", "pred", "obj", "obj_kind",
          "obj_datatype"]
+_TRIPLE_COLS = ["subj", "pred", "obj", "obj_kind", "obj_datatype"]
+
+# Triples whose predicate can ALSO be produced by the link stage's joins
+# (J1 emits ol:author from the author↔creation rendezvous; editions with a
+# role=="Author" contributor emit ol:author directly, lib/edition.rb:229-236;
+# J2 emits dc:subject URIs, and classifications/dict-subjects emit dc:subject
+# URIs directly).  In single-pass mode these are routed through the side sink
+# so the directly-written edge set and the join-born edge set stay provably
+# disjoint — global dedup then decomposes into two independent dedups.
+_DC_SUBJECT = V.DC_SUBJECT
+_OL_AUTHOR = V.OL_AUTHOR
+
+
+def _is_collision_triple(pred: str, obj_kind: str) -> bool:
+    return pred == _OL_AUTHOR or (pred == _DC_SUBJECT and obj_kind == "uri")
+
+
+class _Cols:
+    """Columnar accumulator: per-column Python lists → pd.DataFrame(dict),
+    avoiding the row-oriented list-of-tuples transpose."""
+
+    def __init__(self, names):
+        self.names = names
+        self.cols = [[] for _ in names]
+
+    def append(self, *vals):
+        for c, v in zip(self.cols, vals):
+            c.append(v)
+
+    def __len__(self):
+        return len(self.cols[0])
+
+    def frame(self) -> pd.DataFrame:
+        return pd.DataFrame(dict(zip(self.names, self.cols)))
+
+    def reset(self):
+        self.cols = [[] for _ in self.names]
 
 
 def _make_extract_batches(triples: bool = True, sides: bool = True):
-    """Batch-iterator factory.  ``triples``/``sides`` select which row kinds
-    the pass emits — the two-pass fast pipeline runs one sides-only pass
-    (tiny output, persisted) and one triples-only pass (streamed straight
-    into the dedup shuffle), trading one extra narrow scan for never
-    materializing the big intermediate."""
+    """Batch iterator emitting the unified 8-column extract rows (durable
+    path; also the two-pass fast path's building block)."""
 
     def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: list[tuple] = []
+            out = _Cols(_COLS)
             urls = pdf["url"].tolist()
             htmls = pdf["html"].tolist() if "html" in pdf else [None] * len(urls)
             texts = pdf["text"].tolist()
             for url, html, text in zip(urls, htmls, texts):
-                # byte-identity audit: html→text must reproduce `text` exactly
                 recovered = html_to_text(bytes(html)) if html is not None else None
                 line = recovered if recovered is not None else text
-                ok = "ok" if recovered == text else "mismatch"
                 rec = parse_dump_line(line) if line is not None else None
                 src_type = rec[0] if rec else None
                 if sides:
-                    out.append(("page", src_type, url, url, None, ok, None,
-                                None))
-                if line is None:
+                    out.append("page", src_type, url, url, None,
+                               "ok" if recovered == text else "mismatch",
+                               None, None)
+                if rec is None:
                     continue
-                res = extract_line(line)
+                res = extract_record(rec[0], rec[4])
                 if res is None:
                     continue
                 if triples:
                     for t in res.triples:
-                        out.append(("triple", src_type, url, t.subj, t.pred,
-                                    t.obj, t.obj_kind, t.obj_datatype))
+                        out.append("triple", src_type, url, t.subj, t.pred,
+                                   t.obj, t.obj_kind, t.obj_datatype)
                 if sides:
                     for key, name in res.author_names:
-                        out.append(("author_name", src_type, url, key, None,
-                                    name, None, None))
+                        out.append("author_name", src_type, url, key, None,
+                                   name, None, None)
                     for creation, key in res.creation_refs:
-                        out.append(("creation_ref", src_type, url, creation,
-                                    None, key, None, None))
+                        out.append("creation_ref", src_type, url, creation,
+                                   None, key, None, None)
                     for uri, label in res.probes:
-                        out.append(("probe", src_type, url, uri, None, label,
-                                    None, None))
-            yield pd.DataFrame(out, columns=_COLS)
+                        out.append("probe", src_type, url, uri, None, label,
+                                   None, None)
+            yield out.frame()
 
     return _extract_batches
 
 
 def extract_pages(pages: DataFrame, repartition_by_url: int | None = None,
                   triples: bool = True, sides: bool = True) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) → extract rows."""
+    """pages(url, warc_ts, html, text, lang) → unified extract rows
+    (durable-pipeline path; the checkpoint write materializes every kind
+    once, so downstream readers never re-run the UDF)."""
     cols = [c for c in ("url", "html", "text") if c in pages.columns]
     src = pages.select(*cols)
     if repartition_by_url:
         src = src.repartition(repartition_by_url, F.xxhash64("url"))
     return src.mapInPandas(_make_extract_batches(triples, sides),
                            schema=EXTRACT_SCHEMA)
+
+
+def _make_sink_batches(side_sink: str):
+    """Single-pass batch iterator: yields 5-column triple rows; side rows
+    (incl. collision-class triples and page audits) accumulate across the
+    task's batches and are written once per task to ``side_sink``."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        side = _Cols(_COLS)
+        for pdf in batches:
+            out = _Cols(_TRIPLE_COLS)
+            urls = pdf["url"].tolist()
+            htmls = pdf["html"].tolist() if "html" in pdf else [None] * len(urls)
+            texts = pdf["text"].tolist()
+            for url, html, text in zip(urls, htmls, texts):
+                recovered = html_to_text(bytes(html)) if html is not None else None
+                line = recovered if recovered is not None else text
+                rec = parse_dump_line(line) if line is not None else None
+                src_type = rec[0] if rec else None
+                side.append("page", src_type, url, url, None,
+                            "ok" if recovered == text else "mismatch",
+                            None, None)
+                if rec is None:
+                    continue
+                res = extract_record(rec[0], rec[4])
+                if res is None:
+                    continue
+                for t in res.triples:
+                    if _is_collision_triple(t.pred, t.obj_kind):
+                        side.append("triple", src_type, url, t.subj, t.pred,
+                                    t.obj, t.obj_kind, t.obj_datatype)
+                    else:
+                        out.append(t.subj, t.pred, t.obj, t.obj_kind,
+                                   t.obj_datatype)
+                for key, name in res.author_names:
+                    side.append("author_name", src_type, url, key, None,
+                                name, None, None)
+                for creation, key in res.creation_refs:
+                    side.append("creation_ref", src_type, url, creation,
+                                None, key, None, None)
+                for uri, label in res.probes:
+                    side.append("probe", src_type, url, uri, None, label,
+                                None, None)
+            yield out.frame()
+
+        if len(side):
+            tbl = pa.table(
+                {n: pa.array(c, type=pa.string())
+                 for n, c in zip(side.names, side.cols)})
+            os.makedirs(side_sink, exist_ok=True)
+            pq.write_table(
+                tbl, os.path.join(side_sink, f"part-{uuid.uuid4().hex}.parquet"),
+                compression="zstd")
+
+    return _batches
+
+
+def extract_triples_with_side_sink(pages: DataFrame, side_sink: str,
+                                   repartition_by_url: int | None = None
+                                   ) -> DataFrame:
+    """Single-pass extraction: returns the (non-collision) triple stream;
+    side rows land in ``side_sink`` when the returned stream is executed.
+    The caller MUST run an action on the stream before reading the sink."""
+    cols = [c for c in ("url", "html", "text") if c in pages.columns]
+    src = pages.select(*cols)
+    if repartition_by_url:
+        src = src.repartition(repartition_by_url, F.xxhash64("url"))
+    return src.mapInPandas(_make_sink_batches(side_sink),
+                           schema=TRIPLES_SCHEMA)
+
+
+def read_side_rows(spark, side_sink: str) -> DataFrame:
+    """Read the side sink written by :func:`extract_triples_with_side_sink`
+    (EXTRACT_SCHEMA-shaped; empty DataFrame if the sink has no files)."""
+    if os.path.isdir(side_sink) and any(
+            f.endswith(".parquet") for f in os.listdir(side_sink)):
+        return spark.read.schema(EXTRACT_SCHEMA).parquet(side_sink)
+    return spark.createDataFrame([], EXTRACT_SCHEMA)

@@ -92,29 +92,49 @@ def lcsh_lookup_join(probes: DataFrame, lcsh: DataFrame) -> DataFrame:
 
 
 def link_stage(extract_df: DataFrame, lcsh: DataFrame | None,
-               hot_threshold: int = 100_000, num_salts: int = 16) -> DataFrame:
+               hot_threshold: int = 100_000, num_salts: int = 16,
+               sides: DataFrame | None = None) -> DataFrame:
     """Derive the join-born triples from the extract rows and union them with
-    the record-local triples → the full (pre-dedup) triple stream."""
+    the record-local triples → the full (pre-dedup) triple stream.
+
+    ``sides``: where to read the small side-row kinds (author_name,
+    creation_ref, probe) from.  Defaults to ``extract_df`` — correct when
+    that is a materialized checkpoint or a cached DataFrame.  When
+    ``extract_df`` is an UNMATERIALIZED UDF stream, pass the (tiny,
+    persisted/parquet) side rows separately: each side branch, plus the
+    hot-key census, is its own plan subtree, and reading them off the raw
+    stream would re-run the expensive extraction once per subtree."""
+    if sides is None:
+        sides = extract_df
     direct = (extract_df.filter(F.col("kind") == "triple")
               .select("subj", "pred", "obj", "obj_kind", "obj_datatype"))
 
-    refs = (extract_df.filter(F.col("kind") == "creation_ref")
-            .select(F.col("subj").alias("creation_uri"),
-                    F.col("obj").alias("author_key")))
-    names = (extract_df.filter(F.col("kind") == "author_name")
-             .select(F.col("subj").alias("author_key"),
-                     F.col("obj").alias("name")))
-    ol_author = salted_join_author_names(refs, names, hot_threshold, num_salts)
-
-    parts = [direct, ol_author]
-    if lcsh is not None:
-        probes = (extract_df.filter(F.col("kind") == "probe")
-                  .select(F.col("subj").alias("entity_uri"),
-                          F.col("obj").alias("label")))
-        parts.append(lcsh_lookup_join(probes, lcsh))
+    parts = [direct]
+    parts.append(join_born_triples(sides, lcsh, hot_threshold, num_salts))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def join_born_triples(sides: DataFrame, lcsh: DataFrame | None,
+                      hot_threshold: int = 100_000,
+                      num_salts: int = 16) -> DataFrame:
+    """The link stage's join outputs alone: J1 (ol:author rendezvous) and,
+    when an LCSH dimension is given, J2 (dc:subject URI lookups) — both
+    derived from the small side-row kinds."""
+    refs = (sides.filter(F.col("kind") == "creation_ref")
+            .select(F.col("subj").alias("creation_uri"),
+                    F.col("obj").alias("author_key")))
+    names = (sides.filter(F.col("kind") == "author_name")
+             .select(F.col("subj").alias("author_key"),
+                     F.col("obj").alias("name")))
+    out = salted_join_author_names(refs, names, hot_threshold, num_salts)
+    if lcsh is not None:
+        probes = (sides.filter(F.col("kind") == "probe")
+                  .select(F.col("subj").alias("entity_uri"),
+                          F.col("obj").alias("label")))
+        out = out.unionByName(lcsh_lookup_join(probes, lcsh))
     return out
 
 

@@ -34,16 +34,29 @@ def stage_complete(out_dir: str, stage: str) -> bool:
 
 def write_stage(df: DataFrame, out_dir: str, stage: str,
                 partition_by: list[str] | None = None,
-                table_format: str = "parquet") -> None:
+                table_format: str = "parquet",
+                mode: str = "overwrite",
+                catalog: str = "olkg") -> None:
+    """Write one stage table.  ``table_format='iceberg'`` targets a
+    configured Iceberg catalog via the DataFrameWriterV2 API and honors
+    ``partition_by`` (identity transforms) and ``mode`` ('overwrite' →
+    createOrReplace, 'append' → append); parquet is the sandbox default."""
+    if table_format == "iceberg":
+        writer_v2 = df.writeTo(f"{catalog}.{stage}")
+        if mode == "append":
+            # appends inherit the existing table's partition spec
+            writer_v2.append()
+        else:
+            if partition_by:
+                writer_v2 = writer_v2.partitionedBy(
+                    *[F.col(c) for c in partition_by])
+            writer_v2.createOrReplace()
+        return
     path = _stage_path(out_dir, stage)
-    writer = df.write.mode("overwrite")
+    writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    if table_format == "iceberg":
-        # on a cluster with an Iceberg catalog configured:
-        df.writeTo(f"olkg.{stage}").createOrReplace()
-    else:
-        writer.parquet(path)
+    writer.parquet(path)
 
 
 def read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:

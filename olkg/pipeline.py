@@ -135,44 +135,82 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
                       hot_threshold: int = 100_000,
                       num_salts: int = 16,
                       repartition_by_url: int | None = None,
-                      with_canonical_map: bool = True) -> dict:
-    """Single-materialization variant: stages chain in memory (extract output
-    persisted once, MEMORY_AND_DISK) and only the final graph tables are
-    written.  Used for throughput/scaling measurement where intermediate
-    durability is not wanted; ``run_pipeline`` is the durable, resumable
-    path.  On a real cluster the two converge: intermediate checkpoints go to
-    per-executor/HDFS storage that scales with the cluster, unlike this
-    sandbox's single shared disk."""
+                      with_canonical_map: bool = True,
+                      dedup_pages: bool = False) -> dict:
+    """Single-materialization, SINGLE-EXTRACTION variant.
+
+    The expensive Python extraction UDF runs exactly once per page: the big
+    triple stream flows from the UDF straight into the dedup shuffle and out
+    to the edges table, while the tiny side rows (author names, creation
+    refs, LCSH probes, page audits — a few rows per page) plus the
+    collision-class triples (ol:author / dc:subject-URI, the only predicates
+    a join can also produce) are written to a parquet side sink from inside
+    the task.  A second, small job derives the join-born triples from the
+    sink, dedups them together with the collision class, and appends — the
+    two edge sets are disjoint by construction (tested), so the two local
+    dedups compose to the global A4 dedup.
+
+    ``run_pipeline`` is the durable, resumable path; this one is for
+    throughput/scaling measurement (and for clusters where recompute beats
+    intermediate durability).
+
+    ``dedup_pages``: web crawls are duplicate-heavy — when set, pages are
+    exact-deduplicated by content hash (url-min survivor) BEFORE extraction
+    so duplicate pages never pay the Python extraction cost.  Output triples
+    are unchanged whenever duplicate pages carry identical text (same
+    (s,p,o) net effect); page/audit counts then refer to distinct pages."""
+    import shutil as _shutil
+
+    from pyspark.sql import Observation
+
+    from .extract import extract_triples_with_side_sink, read_side_rows
+    from .link import join_born_triples
+
     os.makedirs(out_dir, exist_ok=True)
     run_id = uuid.uuid4().hex[:12]
     metrics: dict = {"run_id": run_id, "stages": {}, "mode": "fast"}
     t_total = time.time()
 
     pages = spark.read.parquet(pages_path)
-    # two-pass design: the big intermediate (triple rows, ~30x the pages) is
-    # NEVER materialized — it streams from the UDF straight into the dedup
-    # shuffle.  Only the tiny side-row stream (author names, creation refs,
-    # probes, page audits: a few rows per page) is persisted for the fan-out
-    # consumers.  One extra narrow scan of the input buys zero cache
-    # pressure at any corpus size — the recompute-over-materialize trade
-    # that holds at 100 TB.
-    t0 = time.time()
-    sides = extract_pages(pages, repartition_by_url=repartition_by_url,
-                          triples=False, sides=True).persist()
-    sides.count()
-    metrics["stages"]["extract_sides"] = {
-        "wall_ms": int((time.time() - t0) * 1000)}
+    if dedup_pages:
+        # hash-partitioned first-writer-wins on the text digest: the shuffle
+        # carries (url, digest) only; surviving urls join back broadcast-free
+        # on the same key
+        keep = (pages.select("url", F.md5("text").alias("_d"))
+                .groupBy("_d").agg(F.min("url").alias("url"))
+                .select("url"))
+        pages = pages.join(keep, "url", "left_semi")
 
-    triples_only = extract_pages(pages,
-                                 repartition_by_url=repartition_by_url,
-                                 triples=True, sides=False)
-    linked = link_stage(triples_only.unionByName(sides), lcsh,
-                        hot_threshold=hot_threshold, num_salts=num_salts)
-    edges = dedup_edges(linked)
+    sides_sink = os.path.join(out_dir, "sides")
+    _shutil.rmtree(sides_sink, ignore_errors=True)
+
+    # -- job 1: extract (once) → dedup direct triples → edges/ ---------------
     t0 = time.time()
-    write_stage(edges, out_dir, "edges")
+    stream = extract_triples_with_side_sink(
+        pages, sides_sink, repartition_by_url=repartition_by_url)
+    obs_direct = Observation("direct_edges")
+    direct_edges = dedup_edges(stream).observe(
+        obs_direct, F.count(F.lit(1)).alias("n"))
+    write_stage(direct_edges, out_dir, "edges")
+    n_direct = obs_direct.get["n"]
+    metrics["stages"]["extract_dedup_direct"] = {
+        "wall_ms": int((time.time() - t0) * 1000), "rows": n_direct}
+
+    # -- job 2: join-born + collision triples → dedup → append ---------------
+    t0 = time.time()
+    sides = read_side_rows(spark, sides_sink)
+    collision = (sides.filter(F.col("kind") == "triple")
+                 .select("subj", "pred", "obj", "obj_kind", "obj_datatype"))
+    joinborn = join_born_triples(sides, lcsh, hot_threshold=hot_threshold,
+                                 num_salts=num_salts).unionByName(collision)
+    obs_join = Observation("join_edges")
+    write_stage(dedup_edges(joinborn).observe(
+        obs_join, F.count(F.lit(1)).alias("n")),
+        out_dir, "edges", mode="append")
+    n_join = obs_join.get["n"]
     metrics["stages"]["link_dedup"] = {
-        "wall_ms": int((time.time() - t0) * 1000)}
+        "wall_ms": int((time.time() - t0) * 1000), "rows": n_join}
+
     edges = read_stage(spark, out_dir, "edges")
     append_lineage(spark, out_dir, run_id, "edges", edges,
                    metrics["stages"]["link_dedup"]["wall_ms"])
@@ -191,12 +229,15 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
     metrics["stages"]["materialize"] = {
         "wall_ms": int((time.time() - t0) * 1000)}
 
-    n_triples = edges.count()
+    # byte-identity audit over the sink's page rows; distinct-url aggregation
+    # keeps the count exact even if a retried task duplicated sink files
     audit = (sides.filter(F.col("kind") == "page")
+             .groupBy("url")
+             .agg(F.max(F.when(F.col("obj") != "ok", 1).otherwise(0))
+                  .alias("mm"))
              .agg(F.count(F.lit(1)).alias("pages"),
-                  F.sum(F.when(F.col("obj") != "ok", 1).otherwise(0))
-                  .alias("mismatches")).first())
-    sides.unpersist()
+                  F.sum("mm").alias("mismatches")).first())
+    n_triples = n_direct + n_join
     total_s = time.time() - t_total
     metrics.update(triples=n_triples, wall_s=round(total_s, 3),
                    triples_per_sec=round(n_triples / total_s, 1),
@@ -220,6 +261,9 @@ def main(argv=None):
     ap.add_argument("--hot-threshold", type=int, default=100_000)
     ap.add_argument("--num-salts", type=int, default=16)
     ap.add_argument("--repartition-by-url", type=int, default=None)
+    ap.add_argument("--dedup-pages", action="store_true",
+                    help="exact-dedup pages by content hash before extract "
+                         "(fast mode only)")
     args = ap.parse_args(argv)
 
     from .session import build_session
@@ -235,7 +279,8 @@ def main(argv=None):
         metrics = run_pipeline_fast(spark, args.pages, args.out, lcsh=lcsh,
                                     hot_threshold=args.hot_threshold,
                                     num_salts=args.num_salts,
-                                    repartition_by_url=args.repartition_by_url)
+                                    repartition_by_url=args.repartition_by_url,
+                                    dedup_pages=args.dedup_pages)
     else:
         metrics = run_pipeline(spark, args.pages, args.out, lcsh=lcsh,
                                resume=not args.no_resume,

@@ -33,6 +33,11 @@ import re
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
+try:  # fast path: orjson parses identical JSON ~5x faster; stdlib fallback
+    import orjson as _fastjson
+except ImportError:  # pragma: no cover
+    _fastjson = None
+
 from . import vocab as V
 from .util import (
     RUBY_A_TO_z09,
@@ -659,7 +664,9 @@ class EditionExtractor(_Emitter):
                 continue
             if not isinstance(author, dict):
                 continue
-            a = V.URI_PREFIX + (author.get("key") or "")
+            # _to_s: Ruby interpolates any key type ("#{author['key']}");
+            # a non-str truthy key must not TypeError the whole Spark task
+            a = V.URI_PREFIX + _to_s(author.get("key") or "")
             self.add(self.uri, V.DC_CREATOR, a, URI)
             authors.append(a)
             if author.get("key"):
@@ -936,7 +943,15 @@ def parse_dump_line(line: str):
         return None
     rtype, key, rev, date = parts[0], parts[1], parts[2], parts[3]
     try:
-        data = json.loads(parts[4])
+        if _fastjson is not None:
+            try:
+                data = _fastjson.loads(parts[4])
+            except _fastjson.JSONDecodeError:
+                # orjson rejects a few inputs stdlib json accepts (e.g.
+                # >64-bit ints); retry with the reference-faithful parser
+                data = json.loads(parts[4])
+        else:
+            data = json.loads(parts[4])
     except (ValueError, TypeError):
         return None
     if not isinstance(data, dict):
