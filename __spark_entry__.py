@@ -24,6 +24,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 PAGES = os.path.join(REPO, "data", "pages.parquet")
 LCSH = os.path.join(REPO, "data", "lcsh.parquet")
 GOLDEN = os.path.join(REPO, "data", "golden_edges.parquet")
+PLANES = os.path.join(REPO, "data", "hyperplanes.parquet")
 
 _CACHE: dict = {}
 
@@ -168,13 +169,21 @@ def q_doc_ngram_jaccard(spark, sf_dir):
 
 
 def q_doc_minhash_lsh(spark, sf_dir):
-    from olkg.textops import minhash_lsh_candidates
-    return minhash_lsh_candidates(_docs(spark, sf_dir))
+    """MinHash-LSH near-dup: LSH candidates verified with exact Jaccard.
+    bands=num_perm=16 (1 row/band) makes P(miss | jaccard ≥ 0.5) ≤ 1.6e-5,
+    so the output equals the oracle's pair-exhaustive jaccard ≥ 0.5 set."""
+    from olkg.textops import minhash_near_dup_pairs
+    return minhash_near_dup_pairs(_docs(spark, sf_dir), n=3, num_perm=16,
+                                  bands=16, threshold=0.5)
 
 
 def q_doc_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup at hamming ≤ 3 with radius-complete chunk blocking
+    (max_hamming+1 chunks, pigeonhole) over the cross-engine md5-based
+    60-bit signature — the oracle recomputes signatures + all pairs in SQL."""
     from olkg.textops import simhash_near_pairs
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=16)
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3,
+                              hash_fn="md5_60")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -186,12 +195,15 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    """ANN top-k via random-hyperplane LSH with the COMMITTED hyperplane
+    table (data/hyperplanes.parquet) — the oracle reads the same weights and
+    derives identical buckets, candidates, and ranks."""
     from olkg.simsearch import cosine_topk_lsh
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     emb = emb.withColumn("embedding",
                          F.transform("embedding", lambda x: x.cast("double")))
-    return cosine_topk_lsh(emb, query_ids=list(range(10)), k=5,
-                           num_planes=6, num_tables=4)
+    planes = spark.read.parquet(PLANES)
+    return cosine_topk_lsh(emb, query_ids=list(range(10)), k=5, planes=planes)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -344,9 +356,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard":
             "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
             "FROM documents), "
-            "sh AS (SELECT DISTINCT doc_id, "
+            "sh0 AS (SELECT DISTINCT doc_id, "
             "t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle "
             "FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)), "
+            # mirror Spark's max_df=10000 stop-shingle guard exactly
+            "sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN "
+            "(SELECT shingle FROM sh0 GROUP BY shingle "
+            "HAVING count(*) <= 10000) g USING (shingle)), "
             "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
             "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
             "count(*) AS inter_size FROM sh a JOIN sh b ON a.shingle = b.shingle "
@@ -356,8 +372,66 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id "
             "JOIN sizes sb ON inter.doc_b = sb.doc_id "
             "WHERE inter_size * 1.0 / (sa.sz + sb.sz - inter_size) >= 0.2",
-        # doc_minhash_lsh, doc_simhash_pairs, ann_lsh_topk: hash-function-
-        # specific (xxhash64), not SQL-expressible → rows-only check
+        # LSH candidates verified with exact Jaccard (bands=16, 1 row/band:
+        # P(miss | j >= 0.5) <= 1.6e-5) == the pair-exhaustive j >= 0.5 set
+        "doc_minhash_lsh":
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle "
+            "FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)), "
+            "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "count(*) AS inter_size FROM sh a JOIN sh b ON a.shingle = b.shingle "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, "
+            "round(inter_size * 1.0 / (sa.sz + sb.sz - inter_size), 4) AS jaccard "
+            "FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id "
+            "JOIN sizes sb ON inter.doc_b = sb.doc_id "
+            "WHERE inter_size * 1.0 / (sa.sz + sb.sz - inter_size) >= 0.5",
+        # the 60-bit signature hash is ('0x'||substr(md5(tok),1,15))::UBIGINT
+        # in BOTH engines; the oracle recomputes signatures and checks ALL
+        # pairs, so it also proves the chunk blocking is radius-complete
+        "doc_simhash_pairs":
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok "
+            "FROM documents), "
+            "h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::UBIGINT AS h "
+            "FROM toks WHERE tok != ''), "
+            "bits AS (SELECT doc_id, b.bit, "
+            "sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+            "FROM h CROSS JOIN (SELECT unnest(range(60)) AS bit) b "
+            "GROUP BY doc_id, b.bit), "
+            "sig AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN "
+            "(1::UBIGINT << bit) ELSE 0::UBIGINT END)::UBIGINT AS simhash "
+            "FROM bits GROUP BY doc_id) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "bit_count(xor(a.simhash, b.simhash)) AS hamming "
+            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3",
+        # both engines read the SAME committed hyperplane table and derive
+        # identical buckets → identical candidates → identical top-k
+        "ann_lsh_topk":
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            f"pt AS (SELECT table_id, list(w ORDER BY plane_id) AS ws "
+            f"FROM read_parquet('{PLANES}') GROUP BY table_id), "
+            "sig AS (SELECT vec_id, 't' || table_id || ':' || "
+            "array_to_string(list_transform(ws, w -> CASE WHEN "
+            "list_dot_product(v, w) > 0 THEN '1' ELSE '0' END), '') AS bucket "
+            "FROM e CROSS JOIN pt), "
+            "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10), "
+            "qs AS (SELECT vec_id AS query_id, bucket FROM sig WHERE vec_id < 10), "
+            "cand AS (SELECT DISTINCT qs.query_id, s.vec_id AS neighbor_id "
+            "FROM qs JOIN sig s USING (bucket) WHERE s.vec_id != qs.query_id), "
+            "scored AS (SELECT c.query_id, c.neighbor_id, "
+            "round(list_dot_product(q.qv, e.v) / "
+            "(sqrt(list_dot_product(q.qv, q.qv)) * "
+            "sqrt(list_dot_product(e.v, e.v))), 4) AS cos_sim "
+            "FROM cand c JOIN q ON c.query_id = q.query_id "
+            "JOIN e ON c.neighbor_id = e.vec_id) "
+            "SELECT query_id, neighbor_id, cos_sim, rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) "
+            "WHERE rank <= 5",
         "ann_cosine_topk":
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
             "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10), "

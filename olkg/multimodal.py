@@ -39,8 +39,15 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for i, p, m in zip(ids, payloads, modalities):
             b = bytes(p) if p is not None else b""
+            # header window: first 16 CHARACTERS when the payload is valid
+            # UTF-8 text (char boundary keeps the fingerprint reproducible
+            # in engines without blob slicing), else first 16 raw bytes
+            try:
+                head = b.decode("utf-8")[:16].encode("utf-8")
+            except UnicodeDecodeError:
+                head = b[:16]
             rows.append((i, len(b),
-                         hashlib.md5(b[:16]).hexdigest()[:8], m))
+                         hashlib.md5(head).hexdigest()[:8], m))
         yield pd.DataFrame(rows, columns=["doc_id", "byte_len",
                                           "header_hash", "modality"])
 

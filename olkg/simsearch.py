@@ -4,8 +4,19 @@ Brute-force cosine top-k is the verifiable baseline (dot products in native
 ``aggregate``/``zip_with`` expressions — JVM-side, no Python); the LSH-bucketed
 variant is the scale path: random-hyperplane signatures shrink the candidate
 set from N to a bucket, turning the O(N·Q) cross join into a bucket-partitioned
-join.  Hyperplanes are derived deterministically from xxhash64 so results are
-reproducible without RNG state.
+join.
+
+Top-k is computed in TWO PHASES: a per-partition partial top-k (window over
+(query_id, partition)) bounds every shuffle key's payload to |partitions|·k
+rows before the global per-query rank — no single-reducer straggler when one
+query scores the whole corpus.
+
+Hyperplanes come in two flavors:
+- :func:`lsh_signatures` derives ±1 weights from xxhash64 — self-contained,
+  reproducible, Spark-only;
+- :func:`lsh_signatures_from_planes` reads the weights from a (table_id,
+  plane_id, w: array<double>) table, so an independent engine given the same
+  table computes the identical buckets — this is the oracle-checkable path.
 """
 
 from __future__ import annotations
@@ -24,13 +35,33 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase deterministic top-k of ``scored(query_id, neighbor_id,
+    cos_sim)``: phase 1 ranks within (query_id, input partition) — a shuffle
+    whose keys are spread |partitions|-wide, never one reducer per query —
+    and keeps k per partition; phase 2 ranks the surviving
+    |partitions|·k rows per query.  Ties broken by neighbor_id, so the
+    result equals a single global rank."""
+    order = [F.col("cos_sim").desc(), F.col("neighbor_id")]
+    w_local = Window.partitionBy("query_id", "_pid").orderBy(*order)
+    w_global = Window.partitionBy("query_id").orderBy(*order)
+    return (scored
+            .withColumn("_pid", F.spark_partition_id())
+            .withColumn("_lr", F.row_number().over(w_local))
+            .filter(F.col("_lr") <= k)
+            .withColumn("rank", F.row_number().over(w_global))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank"))
+
+
 def cosine_topk_bruteforce(embeddings: DataFrame, query_ids: list[int],
                            k: int = 5, id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors for each query id against the full table.
     (query_id, neighbor_id, cos_sim rounded to 4dp, rank).  The query side is
     tiny → broadcast; the corpus side streams, so this scales with corpus
-    size × |queries| and never shuffles the corpus."""
+    size × |queries| and never shuffles the corpus (only the per-partition
+    partial top-k survivors)."""
     q = (embeddings.filter(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("query_id"),
                  F.col(vec_col).alias("qv")))
@@ -41,17 +72,16 @@ def cosine_topk_bruteforce(embeddings: DataFrame, query_ids: list[int],
     sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     scored = pairs.select("query_id", "neighbor_id",
                           F.round(sim, 4).alias("cos_sim"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
-                                               F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return _topk_per_query(scored, k)
 
 
-def _hyperplane_sign(vec_col, plane: int, dim: int):
+def _hyperplane_sign(vec_col, plane: int):
     """Deterministic pseudo-random hyperplane: component j's weight is ±1 by
-    parity of xxhash64(plane, j); sign of <v, h> is the signature bit."""
+    parity of xxhash64(plane, j); sign of <v, h> is the signature bit.
+    The weight array is sized per row from the vector itself — no driver-side
+    dimension sniff."""
     weights = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
+        F.sequence(F.lit(0), F.size(vec_col) - 1),
         lambda j: F.when(
             F.pmod(F.xxhash64(F.concat(F.lit(f"p{plane}|"),
                                        j.cast("string"))), F.lit(2)) == 0,
@@ -61,17 +91,14 @@ def _hyperplane_sign(vec_col, plane: int, dim: int):
 
 def lsh_signatures(embeddings: DataFrame, num_planes: int = 8,
                    num_tables: int = 4, id_col: str = "vec_id",
-                   vec_col: str = "embedding",
-                   dim: int | None = None) -> DataFrame:
+                   vec_col: str = "embedding") -> DataFrame:
     """(id, bucket): multi-table random-hyperplane LSH (OR-construction).
     Each of ``num_tables`` tables hashes with its own ``num_planes``
     hyperplanes; a vector emits one bucket per table, and any shared bucket
     makes a candidate pair — the standard recall/selectivity trade."""
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
     buckets = []
     for t in range(num_tables):
-        bits = [_hyperplane_sign(F.col(vec_col), t * 1000 + p, dim)
+        bits = [_hyperplane_sign(F.col(vec_col), t * 1000 + p)
                 .cast("string") for p in range(num_planes)]
         buckets.append(F.concat_ws("", F.lit(f"t{t}:"), *bits))
     return embeddings.select(
@@ -79,14 +106,34 @@ def lsh_signatures(embeddings: DataFrame, num_planes: int = 8,
         F.explode(F.array(*buckets)).alias("bucket"))
 
 
-def cosine_topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
-                    num_planes: int = 8, num_tables: int = 4,
-                    id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
-    """ANN top-k: restrict the brute-force scoring to same-bucket candidates
-    across the LSH tables.  Same schema as the brute-force variant;
-    recall < 1 by design (tested against brute force)."""
-    sig = lsh_signatures(embeddings, num_planes, num_tables, id_col, vec_col)
+def lsh_signatures_from_planes(embeddings: DataFrame, planes: DataFrame,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """(id, bucket) from an explicit hyperplane table (table_id, plane_id,
+    w: array<double>).  The plane table is tiny (tables × planes rows) →
+    broadcast; bits are computed per row with nested array expressions, no
+    extra shuffle.  Any engine reading the same table derives the identical
+    buckets — the cross-engine-verifiable LSH path."""
+    per_table = (planes
+                 .groupBy("table_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("plane_id", "w")))
+                      .alias("pw"))
+                 .select("table_id",
+                         F.transform("pw", lambda x: x["w"]).alias("ws")))
+    bits = F.transform(
+        "ws",
+        lambda w: F.when(_dot(F.col(vec_col), w) > 0, F.lit("1"))
+                   .otherwise(F.lit("0")))
+    return (embeddings.crossJoin(F.broadcast(per_table))
+            .select(F.col(id_col).alias("id"),
+                    F.concat(F.lit("t"), F.col("table_id").cast("string"),
+                             F.lit(":"), F.array_join(bits, ""))
+                    .alias("bucket")))
+
+
+def _topk_from_signatures(embeddings: DataFrame, sig: DataFrame,
+                          query_ids: list[int], k: int,
+                          id_col: str, vec_col: str) -> DataFrame:
     emb_b = embeddings.join(sig.withColumnRenamed("id", id_col), id_col)
     q = (emb_b.filter(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("query_id"),
@@ -99,7 +146,23 @@ def cosine_topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     scored = pairs.select("query_id", "neighbor_id",
                           F.round(sim, 4).alias("cos_sim"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
-                                               F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return _topk_per_query(scored, k)
+
+
+def cosine_topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                    num_planes: int = 8, num_tables: int = 4,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    planes: DataFrame | None = None) -> DataFrame:
+    """ANN top-k: restrict the brute-force scoring to same-bucket candidates
+    across the LSH tables.  Same schema as the brute-force variant;
+    recall < 1 by design (tested against brute force).  Pass ``planes`` (a
+    (table_id, plane_id, w) table) for the cross-engine-verifiable variant;
+    otherwise hyperplanes derive from xxhash64."""
+    if planes is not None:
+        sig = lsh_signatures_from_planes(embeddings, planes, id_col, vec_col)
+    else:
+        sig = lsh_signatures(embeddings, num_planes, num_tables, id_col,
+                             vec_col)
+    return _topk_from_signatures(embeddings, sig, query_ids, k, id_col,
+                                 vec_col)

@@ -65,14 +65,30 @@ def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
 
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
                         threshold: float = 0.5,
-                        max_df: int | None = 10_000) -> DataFrame:
+                        max_df: int | None = 10_000,
+                        dropped_stats: dict | None = None) -> DataFrame:
     """(doc_a, doc_b, inter_size, jaccard) for all pairs with word-n-gram
     Jaccard ≥ threshold.  Inverted-index equi-join on the shingle, so only
     docs sharing a shingle are ever paired; `max_df` drops shingles that occur
-    in more than max_df documents (stop-shingle guard)."""
+    in more than max_df documents (stop-shingle guard).
+
+    The threshold compares the UNROUNDED ratio (rounding is display-only in
+    the returned column), so boundary pairs agree with any exact re-check.
+
+    No-silent-caps: pass ``dropped_stats`` (a dict) to census what the
+    max_df guard discarded — filled eagerly (one small aggregation job) with
+    ``dropped_shingles`` / ``dropped_postings`` so a production run can log
+    them to its metrics table before committing to the capped pair set."""
     sh = _shingles(documents, n)
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        if dropped_stats is not None:
+            row = (df_counts.filter(F.col("df") > max_df)
+                   .agg(F.count(F.lit(1)).alias("dropped_shingles"),
+                        F.coalesce(F.sum("df"), F.lit(0))
+                        .alias("dropped_postings")).first())
+            dropped_stats["dropped_shingles"] = row["dropped_shingles"]
+            dropped_stats["dropped_postings"] = row["dropped_postings"]
         sh = (sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
               .select("doc_id", "shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -84,12 +100,12 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
              .agg(F.count(F.lit(1)).alias("inter_size")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jacc = F.col("inter_size") / (F.col("sz_a") + F.col("sz_b")
+                                  - F.col("inter_size"))
     return (inter.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("jaccard",
-                        F.round(F.col("inter_size") /
-                                (F.col("sz_a") + F.col("sz_b") - F.col("inter_size")), 4))
-            .filter(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "inter_size", "jaccard"))
+            .filter(jacc >= threshold)
+            .select("doc_a", "doc_b", "inter_size",
+                    F.round(jacc, 4).alias("jaccard")))
 
 
 # ---------------------------------------------------------------------------
@@ -123,47 +139,115 @@ def minhash_lsh_candidates(documents: DataFrame, n: int = 3,
             .select("doc_a", "doc_b").distinct())
 
 
+def minhash_near_dup_pairs(documents: DataFrame, n: int = 3,
+                           num_perm: int = 16, bands: int = 16,
+                           threshold: float = 0.5) -> DataFrame:
+    """The full MinHash-LSH dedup pipeline: LSH candidate generation, then
+    EXACT Jaccard verification on candidates only — (doc_a, doc_b, jaccard).
+
+    Verification joins candidates against per-doc distinct-shingle arrays and
+    computes |A∩B| / |A∪B| natively, so its cost is proportional to the
+    candidate count, not the corpus pair count.  With the default
+    bands=num_perm (one row per band), a pair with true Jaccard j is missed
+    with probability (1-j)^bands — ≤ 1.6e-5 at j=threshold=0.5 — so the
+    output is, up to that probability, exactly the set of pairs with Jaccard
+    ≥ threshold (which is what the SQL oracle computes pair-exhaustively).
+    The threshold compares the unrounded ratio; rounding is display-only."""
+    cand = minhash_lsh_candidates(documents, n=n, num_perm=num_perm,
+                                  bands=bands)
+    sets = (_shingles(documents, n)
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sh")))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jacc = inter / union
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .filter(jacc >= threshold)
+            .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard")))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash) 64-bit SimHash over word tokens: per-bit majority of
-    token hashes, all in native expressions (token → xxhash64 → bit tests →
-    sums → sign)."""
+def simhash_bits(documents: DataFrame, text_col: str = "text",
+                 hash_fn: str = "md5_60") -> DataFrame:
+    """(doc_id, simhash) SimHash over word tokens: per-bit majority of token
+    hashes, all in native expressions (token → hash → bit tests → sums →
+    sign).
+
+    hash_fn:
+      'md5_60'   (default) — token hash = low 60 bits of md5, an expression
+                 every SQL engine shares (``('0x'||substr(md5(tok),1,15))::
+                 UBIGINT`` in DuckDB), so signatures are independently
+                 verifiable; signature width 60 bits.
+      'xxhash64' — Spark-native, ~2x faster per token, NOT SQL-portable;
+                 width 64 bits.  Use at scale when no cross-engine check is
+                 needed.
+    """
+    if hash_fn == "md5_60":
+        nbits = 60
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10) \
+             .cast("long")
+    elif hash_fn == "xxhash64":
+        nbits = 64
+        h = F.xxhash64("tok")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     toks = (documents
             .select("doc_id", F.explode(F.split(text_col, " ")).alias("tok"))
             .filter(F.col("tok") != "")
-            .withColumn("h", F.xxhash64("tok")))
+            .withColumn("h", h))
     one = F.lit(1).cast("long")
-    # bit 63 via shiftleft (wraps to the sign bit; 1 << 63 would overflow a
-    # Python-long literal on the JVM side)
+    # high bits via shiftleft (a 1 << 63 Python literal would overflow the
+    # JVM long)
     bit_cols = [
         F.sum(F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1)
               .otherwise(-1)).alias(f"b{b}")
-        for b in range(64)
+        for b in range(nbits)
     ]
     agg = toks.groupBy("doc_id").agg(*bit_cols)
     sim = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(nbits):
         sim = sim + F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)) \
                      .otherwise(F.lit(0).cast("long"))
-    return agg.select("doc_id", sim.alias("simhash"))
+    return agg.select("doc_id", sim.alias("simhash")), nbits
 
 
-def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4 × 16-bit chunks (any pair within
-    hamming ≤ max_hamming shares at least one exact chunk for max_hamming≤3),
-    verify hamming distance within blocks."""
-    sh = simhash64(documents)
-    chunks = sh.select(
-        "doc_id", "simhash",
-        F.explode(F.array(*[
+def simhash64(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Back-compat: 64-bit xxhash64 SimHash (see :func:`simhash_bits`)."""
+    sig, _ = simhash_bits(documents, text_col, hash_fn="xxhash64")
+    return sig
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
+                       hash_fn: str = "md5_60") -> DataFrame:
+    """Near-dup pairs by SimHash with RADIUS-COMPLETE chunk blocking:
+    the signature is split into ``max_hamming + 1`` bit chunks, so any pair
+    within hamming ≤ max_hamming has all its differing bits in at most
+    max_hamming chunks and therefore shares at least one exact chunk
+    (pigeonhole) — no pair inside the radius is ever missed, at any radius.
+    Hamming distance is verified exactly within blocks."""
+    sig, nbits = simhash_bits(documents, hash_fn=hash_fn)
+    n_chunks = max_hamming + 1
+    if n_chunks > nbits:
+        raise ValueError(f"max_hamming={max_hamming} needs {n_chunks} chunks "
+                         f"but the signature has only {nbits} bits")
+    chunk_keys = []
+    for c in range(n_chunks):
+        # even partition of [0, nbits) into n_chunks non-empty ranges
+        start = c * nbits // n_chunks
+        end = (c + 1) * nbits // n_chunks
+        w = end - start
+        mask = (1 << w) - 1
+        chunk_keys.append(
             F.concat(F.lit(f"{c}:"),
-                     F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
-                     .cast("string"))
-            for c in range(4)
-        ])).alias("chunk"))
+                     F.shiftright("simhash", start).bitwiseAND(F.lit(mask))
+                     .cast("string")))
+    chunks = sig.select("doc_id", "simhash",
+                        F.explode(F.array(*chunk_keys)).alias("chunk"))
     l = chunks.select(F.col("doc_id").alias("doc_a"),
                       F.col("simhash").alias("sh_a"), "chunk")
     r = chunks.select(F.col("doc_id").alias("doc_b"),

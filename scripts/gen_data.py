@@ -4,6 +4,10 @@
 - data/lcsh.parquet         : LCSH label→URI dimension
 - data/golden_edges.parquet : deduplicated golden triple set (pure-Python net
                               effect, olkg.golden — the DuckDB oracle source)
+- data/hyperplanes.parquet  : LSH hyperplane weights (table_id, plane_id,
+                              w: list<double> of ±1), derived deterministically
+                              from md5 so both Spark and the SQL oracle read
+                              the SAME weights and derive identical buckets
 
 Run: python scripts/gen_data.py
 """
@@ -39,6 +43,21 @@ def main():
     lcsh = pd.DataFrame(LCSH_ROWS, columns=["label", "uri"])
     pq.write_table(pa.Table.from_pandas(lcsh),
                    os.path.join(OUT, "lcsh.parquet"))
+
+    import hashlib
+    NUM_TABLES, NUM_PLANES, DIM = 4, 6, 64
+    prows = []
+    for t in range(NUM_TABLES):
+        for p in range(NUM_PLANES):
+            w = [1.0 if hashlib.md5(f"{t}|{p}|{j}".encode()).digest()[0] % 2
+                 == 0 else -1.0 for j in range(DIM)]
+            prows.append((t, p, w))
+    planes_tbl = pa.table({
+        "table_id": pa.array([r[0] for r in prows], pa.int32()),
+        "plane_id": pa.array([r[1] for r in prows], pa.int32()),
+        "w": pa.array([r[2] for r in prows], pa.list_(pa.float64())),
+    })
+    pq.write_table(planes_tbl, os.path.join(OUT, "hyperplanes.parquet"))
 
     golden = sorted(golden_triples(lines, dict(LCSH_ROWS)))
     gdf = pd.DataFrame(golden, columns=["subj", "pred", "obj", "obj_kind",
