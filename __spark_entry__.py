@@ -206,6 +206,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     return cosine_topk_lsh(emb, query_ids=list(range(10)), k=5, planes=planes)
 
 
+def q_doc_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: LSH-bucket candidates (committed shared
+    hyperplane table → identical buckets in both engines) verified with the
+    exact cosine — the oracle reproduces the same candidate set + filter."""
+    from olkg.simsearch import embedding_near_dup_pairs
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = emb.withColumn("embedding",
+                         F.transform("embedding", lambda x: x.cast("double")))
+    planes = spark.read.parquet(PLANES)
+    return embedding_near_dup_pairs(emb, planes, threshold=0.4)
+
+
 def q_multimodal_features(spark, sf_dir):
     from olkg.multimodal import documents_as_binary, extract_features
     return extract_features(documents_as_binary(_docs(spark, sf_dir)))
@@ -271,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "doc_embedding_neardup": q_doc_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -408,6 +421,26 @@ def oracle_sql() -> dict[str, str]:
             "bit_count(xor(a.simhash, b.simhash)) AS hamming "
             "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3",
+        # embedding-cosine near-dup: both engines derive identical LSH
+        # buckets from the committed plane table; exact cosine verified
+        "doc_embedding_neardup":
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            f"pt AS (SELECT table_id, list(w ORDER BY plane_id) AS ws "
+            f"FROM read_parquet('{PLANES}') GROUP BY table_id), "
+            "sig AS (SELECT vec_id, 't' || table_id || ':' || "
+            "array_to_string(list_transform(ws, w -> CASE WHEN "
+            "list_dot_product(v, w) > 0 THEN '1' ELSE '0' END), '') AS bucket "
+            "FROM e CROSS JOIN pt), "
+            "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM sig a JOIN sig b USING (bucket) WHERE a.vec_id < b.vec_id) "
+            "SELECT id_a, id_b, round(list_dot_product(ea.v, eb.v) / "
+            "(sqrt(list_dot_product(ea.v, ea.v)) * "
+            "sqrt(list_dot_product(eb.v, eb.v))), 4) AS cos_sim "
+            "FROM cand JOIN e ea ON cand.id_a = ea.vec_id "
+            "JOIN e eb ON cand.id_b = eb.vec_id "
+            "WHERE list_dot_product(ea.v, eb.v) / "
+            "(sqrt(list_dot_product(ea.v, ea.v)) * "
+            "sqrt(list_dot_product(eb.v, eb.v))) >= 0.4",
         # both engines read the SAME committed hyperplane table and derive
         # identical buckets → identical candidates → identical top-k
         "ann_lsh_topk":

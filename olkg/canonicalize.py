@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import vocab as V
 
@@ -106,62 +107,102 @@ def _author_name_bands(author_names: DataFrame, num_bands: int,
             .dropDuplicates())
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 20,
+                         truncate_every: int = 5,
+                         reliable_dir: str | None = None) -> DataFrame:
     """Hash-min label propagation over the bipartite (entity, block_key)
     graph.  Returns (entity, canonical_id) for every entity that has at least
     one *merge-capable* block key (df ≥ 2); singleton-key entities are their
     own canonical id and are omitted (identity).
 
-    Each iteration is two key-partitioned aggregations; ``localCheckpoint``
-    truncates the lineage so iteration cost stays flat.  Convergence is
-    O(component diameter) — identifier blocks are stars, so 2-3 iterations
-    in practice."""
+    The state is the labeled pair list (entity, block_key, label); each
+    iteration is exactly TWO key-partitioned window aggregations —
+    min-over-block then min-over-entity — and ONE action (persist + count,
+    with the changed-row census piggybacked via ``observe``, so no separate
+    convergence job).  Convergence is O(component diameter); identifier
+    blocks are stars, so 2-3 iterations in practice.
+
+    Lineage is truncated every ``truncate_every`` iterations: via reliable
+    ``checkpoint`` into ``reliable_dir`` when given (the durable path — an
+    executor loss on a real cluster recovers from distributed storage), else
+    ``localCheckpoint`` (fast path; re-derivable state)."""
+    from pyspark.sql import Observation
+
     spark = pairs.sparkSession
-    # materialize the raw pairs once — the mergeable census and the filter
-    # join both consume them, and the upstream (band minhash) is expensive
-    pairs = (pairs.dropDuplicates(["entity", "block_key"])
-             .localCheckpoint(eager=True))
+    pairs = pairs.dropDuplicates(["entity", "block_key"])
     # only keys shared by ≥2 entities can merge anything — this drops the
-    # (at web scale, vast) unique-identifier majority before the loop
+    # (at web scale, vast) unique-identifier majority before the loop;
+    # SHUFFLE_HASH: AQE would otherwise broadcast the large side per plan
     mergeable = (pairs.groupBy("block_key")
                  .agg(F.count(F.lit(1)).alias("df"))
                  .filter(F.col("df") >= 2)
                  .select("block_key"))
-    pairs = pairs.join(mergeable.hint("SHUFFLE_HASH"), "block_key") \
-                 .localCheckpoint(eager=True)
-    labels = (pairs.select("entity").distinct()
-              .withColumn("label", F.col("entity"))
-              .localCheckpoint(eager=True))
-    # SHUFFLE_HASH hints: without them AQE broadcasts the (large) labels side
-    # to every task each iteration, turning the loop driver-bound — the
-    # iterations must stay shuffle-partitioned to scale with cores
-    for _ in range(max_iter):
-        key_min = (pairs.join(labels.hint("SHUFFLE_HASH"), "entity")
-                   .groupBy("block_key")
-                   .agg(F.min("label").alias("key_label")))
-        new_labels = (pairs.join(key_min.hint("SHUFFLE_HASH"), "block_key")
-                      .groupBy("entity")
-                      .agg(F.min("key_label").alias("prop_label"))
-                      .join(labels.hint("SHUFFLE_HASH"), "entity")
-                      .select("entity",
-                              F.least("prop_label", "label").alias("new_label"),
-                              "label")
-                      .localCheckpoint(eager=True))
-        changed = new_labels.filter(
-            F.col("new_label") != F.col("label")).limit(1).count()
-        labels = new_labels.select("entity",
-                                   F.col("new_label").alias("label"))
-        if changed == 0:
+    state = (pairs.join(mergeable.hint("SHUFFLE_HASH"), "block_key")
+             .withColumn("label", F.col("entity"))
+             .persist())
+    state.count()
+    if reliable_dir is not None:
+        spark.sparkContext.setCheckpointDir(reliable_dir)
+
+    wk = Window.partitionBy("block_key")
+    we = Window.partitionBy("entity")
+    for i in range(max_iter):
+        # min(label) over the block, then min of that over the entity; both
+        # include the row's own label, so labels decrease monotonically
+        obs = Observation(f"cc_changed_{i}")
+        new_state = (state
+                     .withColumn("_kmin", F.min("label").over(wk))
+                     .withColumn("_new", F.min("_kmin").over(we))
+                     .select("entity", "block_key",
+                             F.col("_new").alias("label"),
+                             (F.col("_new") != F.col("label")).cast("int")
+                             .alias("_chg"))
+                     .observe(obs, F.sum("_chg").alias("n"))
+                     .drop("_chg"))
+        if (i + 1) % truncate_every == 0:
+            new_state = (new_state.checkpoint(eager=False)
+                         if reliable_dir is not None
+                         else new_state.localCheckpoint(eager=False))
+        new_state = new_state.persist()
+        new_state.count()
+        state.unpersist()
+        state = new_state
+        if obs.get["n"] == 0:
             break
-    return labels.withColumnRenamed("label", "canonical_id")
+    out = state.select("entity", F.col("label").alias("canonical_id")) \
+               .distinct()
+    # pin the result before releasing the loop cache it derives from
+    out = out.localCheckpoint(eager=True)
+    state.unpersist()
+    return out
 
 
-def canonical_map(edges: DataFrame, author_names: DataFrame | None = None
-                  ) -> DataFrame:
+def canonical_map_from_blocks(block_ids: DataFrame,
+                              author_names: DataFrame | None = None,
+                              reliable_dir: str | None = None,
+                              minhash_bands: int = 4,
+                              band_rows: int = 2) -> DataFrame:
+    """canonical_map from pre-extracted (entity, block_key) rows — the fast
+    path feeds the extract stage's sink copy of the identifier triples here,
+    so entity resolution never re-scans the full edge table (and can run
+    concurrently with the link stage, which only appends join-born
+    predicates that are never blocking keys)."""
+    pairs = block_ids.select("entity", "block_key")
+    if author_names is not None:
+        pairs = pairs.unionByName(
+            _author_name_bands(author_names, minhash_bands, band_rows))
+    return connected_components(pairs, reliable_dir=reliable_dir)
+
+
+def canonical_map(edges: DataFrame, author_names: DataFrame | None = None,
+                  reliable_dir: str | None = None) -> DataFrame:
     """(entity, canonical_id) for all entities resolvable via blocking keys;
     entities not in any block are their own canonical id (left out of the map
-    — consumers treat absence as identity)."""
-    return connected_components(blocking_keys(edges, author_names))
+    — consumers treat absence as identity).  ``reliable_dir``: durable CC
+    checkpoint location (cluster-side distributed storage) for the resumable
+    path."""
+    return connected_components(blocking_keys(edges, author_names),
+                                reliable_dir=reliable_dir)
 
 
 def sameas_edges_from_map(cmap: DataFrame) -> DataFrame:

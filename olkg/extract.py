@@ -55,6 +55,12 @@ _TRIPLE_COLS = ["subj", "pred", "obj", "obj_kind", "obj_datatype"]
 _DC_SUBJECT = V.DC_SUBJECT
 _OL_AUTHOR = V.OL_AUTHOR
 
+# identifier predicates double as entity-resolution blocking keys; the sink
+# carries a copy (kind='block_id') so the canonicalize stage never re-scans
+# the full edge table for them (duplicates are harmless — blocking dedups)
+_BLOCK_PREDS = {V.BIBO_ISBN13: "isbn13", V.BIBO_LCCN: "lccn",
+                V.BIBO_OCLCNUM: "oclc"}
+
 
 def _is_collision_triple(pred: str, obj_kind: str) -> bool:
     return pred == _OL_AUTHOR or (pred == _DC_SUBJECT and obj_kind == "uri")
@@ -138,10 +144,60 @@ def extract_pages(pages: DataFrame, repartition_by_url: int | None = None,
                            schema=EXTRACT_SCHEMA)
 
 
+# --- JVM-native html→text inversion (single-pass fast path) ----------------
+# html_to_text (pagesgen.py) is substring+replace — expressible natively, so
+# the fast path never ships html bytes to Python and never pays Python string
+# work for the inversion; Python receives ONLY the recovered dump line.
+
+_H_PREFIX = "<html><body><pre>"
+_H_SUFFIX = "</pre></body></html>"
+
+
+def _native_recovered(html_col):
+    """Decoded+unescaped dump line from the html envelope, NULL when the
+    envelope doesn't conform (same contract as pagesgen.html_to_text)."""
+    s = F.decode(html_col, "UTF-8")
+    conforms = s.startswith(_H_PREFIX) & s.endswith(_H_SUFFIX)
+    body = s.substr(F.lit(len(_H_PREFIX) + 1),
+                    F.length(s) - F.lit(len(_H_PREFIX) + len(_H_SUFFIX)))
+    # same replace order as html_to_text: &gt; then &lt; then &amp;
+    unesc = F.replace(F.replace(F.replace(body, F.lit("&gt;"), F.lit(">")),
+                                F.lit("&lt;"), F.lit("<")),
+                      F.lit("&amp;"), F.lit("&"))
+    return F.when(html_col.isNotNull() & conforms, unesc)
+
+
+def pages_to_lines(pages: DataFrame) -> DataFrame:
+    """(line): the dump line per page — html inversion when possible, else
+    the text column (mirrors the Python fallback in _make_extract_batches)."""
+    cols = pages.columns
+    if "html" in cols and "text" in cols:
+        line = F.coalesce(_native_recovered(F.col("html")), F.col("text"))
+    elif "html" in cols:
+        line = _native_recovered(F.col("html"))
+    else:
+        line = F.col("text")
+    return pages.select(line.alias("line"))
+
+
+def audit_pages(pages: DataFrame):
+    """Byte-identity audit, fully native: (pages, mismatches) row.  A page
+    passes iff the html→text inversion reproduces the text column exactly
+    (north_rule's per-url invariant).  One column-pruned scan, no Python."""
+    recovered = _native_recovered(F.col("html"))
+    ok = recovered.eqNullSafe(F.col("text"))
+    return pages.agg(
+        F.count(F.lit(1)).alias("pages"),
+        F.sum(F.when(~ok, 1).otherwise(0)).alias("mismatches")).first()
+
+
 def _make_sink_batches(side_sink: str):
-    """Single-pass batch iterator: yields 5-column triple rows; side rows
-    (incl. collision-class triples and page audits) accumulate across the
-    task's batches and are written once per task to ``side_sink``."""
+    """Single-pass batch iterator over (line) rows: yields 5-column triple
+    rows; side rows (incl. collision-class triples) accumulate across the
+    task's batches and are written once per task to ``side_sink``.  The
+    html→text inversion and the page audit happen JVM-side
+    (:func:`pages_to_lines` / :func:`audit_pages`) — Python never touches
+    html bytes."""
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
@@ -150,37 +206,34 @@ def _make_sink_batches(side_sink: str):
         side = _Cols(_COLS)
         for pdf in batches:
             out = _Cols(_TRIPLE_COLS)
-            urls = pdf["url"].tolist()
-            htmls = pdf["html"].tolist() if "html" in pdf else [None] * len(urls)
-            texts = pdf["text"].tolist()
-            for url, html, text in zip(urls, htmls, texts):
-                recovered = html_to_text(bytes(html)) if html is not None else None
-                line = recovered if recovered is not None else text
+            for line in pdf["line"].tolist():
                 rec = parse_dump_line(line) if line is not None else None
-                src_type = rec[0] if rec else None
-                side.append("page", src_type, url, url, None,
-                            "ok" if recovered == text else "mismatch",
-                            None, None)
                 if rec is None:
                     continue
                 res = extract_record(rec[0], rec[4])
                 if res is None:
                     continue
+                src_type = rec[0]
                 for t in res.triples:
                     if _is_collision_triple(t.pred, t.obj_kind):
-                        side.append("triple", src_type, url, t.subj, t.pred,
+                        side.append("triple", src_type, None, t.subj, t.pred,
                                     t.obj, t.obj_kind, t.obj_datatype)
                     else:
+                        if t.pred in _BLOCK_PREDS:
+                            side.append("block_id", src_type, None, t.subj,
+                                        None,
+                                        _BLOCK_PREDS[t.pred] + ":" + t.obj,
+                                        None, None)
                         out.append(t.subj, t.pred, t.obj, t.obj_kind,
                                    t.obj_datatype)
                 for key, name in res.author_names:
-                    side.append("author_name", src_type, url, key, None,
+                    side.append("author_name", src_type, None, key, None,
                                 name, None, None)
                 for creation, key in res.creation_refs:
-                    side.append("creation_ref", src_type, url, creation,
+                    side.append("creation_ref", src_type, None, creation,
                                 None, key, None, None)
                 for uri, label in res.probes:
-                    side.append("probe", src_type, url, uri, None, label,
+                    side.append("probe", src_type, None, uri, None, label,
                                 None, None)
             yield out.frame()
 
@@ -201,13 +254,13 @@ def extract_triples_with_side_sink(pages: DataFrame, side_sink: str,
                                    ) -> DataFrame:
     """Single-pass extraction: returns the (non-collision) triple stream;
     side rows land in ``side_sink`` when the returned stream is executed.
-    The caller MUST run an action on the stream before reading the sink."""
-    cols = [c for c in ("url", "html", "text") if c in pages.columns]
-    src = pages.select(*cols)
+    The caller MUST run an action on the stream before reading the sink.
+    The page audit is NOT part of this stream — use :func:`audit_pages`."""
+    src = pages
     if repartition_by_url:
         src = src.repartition(repartition_by_url, F.xxhash64("url"))
-    return src.mapInPandas(_make_sink_batches(side_sink),
-                           schema=TRIPLES_SCHEMA)
+    return pages_to_lines(src).mapInPandas(_make_sink_batches(side_sink),
+                                           schema=TRIPLES_SCHEMA)
 
 
 def read_side_rows(spark, side_sink: str) -> DataFrame:

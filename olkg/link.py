@@ -162,11 +162,18 @@ def load_lcsh_ntriples(spark, path: str) -> DataFrame:
         F.regexp_extract("value", pat, 3).alias("o"),
         "pos",
     ).filter(F.col("s") != "")
+    # full N-Triples literal unescape (ECHAR + \uXXXX/\UXXXXXXXX) — an
+    # escaped label (e.g. 'Québec (Province)') must match the
+    # extract-time probe labels byte-for-byte or the J2 join silently drops
+    # it.  Arrow-batched scalar pandas UDF over the small label dimension.
+    from pyspark.sql.functions import pandas_udf
+
+    from .util import nt_unescape
+    unescape = pandas_udf(lambda s: s.map(nt_unescape), "string")
     filtered = (parsed
                 .filter(F.col("p").isin(label_preds))
                 .filter(~F.col("o").contains("/authorities/sj"))
-                # unescape the N-Triples literal
-                .withColumn("o", F.regexp_replace("o", r'\\"', '"')))
+                .withColumn("o", unescape(F.col("o"))))
     w = Window.partitionBy("o").orderBy(F.col("pos").desc())
     return (filtered.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)

@@ -128,8 +128,25 @@ def ntriples_lines(edges: DataFrame) -> DataFrame:
                  F.lit(" .")).alias("value"))
 
 
-def export_ntriples_gz(edges: DataFrame, path: str) -> None:
-    (ntriples_lines(edges)
-     .write.mode("overwrite")
+def export_ntriples_gz(edges: DataFrame, path: str,
+                       dated_single_file: bool = False,
+                       date: str | None = None) -> None:
+    """Gzipped N-Triples export.  Default: a directory of part files (the
+    scalable layout).  ``dated_single_file`` reproduces the reference's
+    ``openlibrary-YYYY-MM-DD.nt.gz`` convention (openlibrary_to_rdf.rb:22)
+    by coalescing to one partition and renaming the part file — parity mode
+    for modest outputs, not the 100-TB path."""
+    df = ntriples_lines(edges)
+    if dated_single_file:
+        df = df.coalesce(1)
+    (df.write.mode("overwrite")
      .option("compression", "gzip")
      .text(path))
+    if dated_single_file:
+        if date is None:
+            date = time.strftime("%Y-%m-%d")
+        part = [f for f in os.listdir(path)
+                if f.startswith("part-") and f.endswith(".gz")]
+        if part:
+            os.rename(os.path.join(path, part[0]),
+                      os.path.join(path, f"openlibrary-{date}.nt.gz"))

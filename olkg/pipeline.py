@@ -94,7 +94,12 @@ def run_pipeline(spark: SparkSession, pages_path: str, out_dir: str,
         names = (extract_df.filter(F.col("kind") == "author_name")
                  .select(F.col("subj").alias("author_key"),
                          F.col("obj").alias("name")))
-        cmap = canonical_map(edges, names)
+        # durable path: CC iterations checkpoint to the stage directory
+        # (distributed storage on a cluster), so an executor/driver loss
+        # resumes instead of recomputing the loop
+        cmap = canonical_map(edges, names,
+                             reliable_dir=os.path.join(out_dir,
+                                                       "_cc_checkpoints"))
         write_stage(cmap, out_dir, "canonical_map")
         append_lineage(spark, out_dir, run_id, "canonical_map",
                        read_stage(spark, out_dir, "canonical_map"),
@@ -163,7 +168,8 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
 
     from pyspark.sql import Observation
 
-    from .extract import extract_triples_with_side_sink, read_side_rows
+    from .extract import (audit_pages, extract_triples_with_side_sink,
+                          read_side_rows)
     from .link import join_born_triples
 
     os.makedirs(out_dir, exist_ok=True)
@@ -179,64 +185,112 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
         keep = (pages.select("url", F.md5("text").alias("_d"))
                 .groupBy("_d").agg(F.min("url").alias("url"))
                 .select("url"))
-        pages = pages.join(keep, "url", "left_semi")
+        # semi-join keeps one url per distinct content; same-url recrawls of
+        # identical content then collapse to one row per url
+        pages = (pages.join(keep, "url", "left_semi")
+                 .dropDuplicates(["url"]))
 
     sides_sink = os.path.join(out_dir, "sides")
     _shutil.rmtree(sides_sink, ignore_errors=True)
+    _shutil.rmtree(os.path.join(out_dir, "edges"), ignore_errors=True)
 
-    # -- job 1: extract (once) → dedup direct triples → edges/ ---------------
+    # -- job 1: extract (once) → dedup direct triples → edges/d=0 ------------
+    # edges is a two-partition table (d=0 direct, d=1 join-born): the link
+    # stage appends d=1 WITHOUT touching d=0, so entity resolution (which
+    # only ever reads blocking-key predicates — all direct) runs concurrently
     t0 = time.time()
     stream = extract_triples_with_side_sink(
         pages, sides_sink, repartition_by_url=repartition_by_url)
     obs_direct = Observation("direct_edges")
     direct_edges = dedup_edges(stream).observe(
         obs_direct, F.count(F.lit(1)).alias("n"))
-    write_stage(direct_edges, out_dir, "edges")
+    write_stage(direct_edges, out_dir, "edges/d=0")
     n_direct = obs_direct.get["n"]
     metrics["stages"]["extract_dedup_direct"] = {
         "wall_ms": int((time.time() - t0) * 1000), "rows": n_direct}
 
-    # -- job 2: join-born + collision triples → dedup → append ---------------
-    t0 = time.time()
     sides = read_side_rows(spark, sides_sink)
-    collision = (sides.filter(F.col("kind") == "triple")
-                 .select("subj", "pred", "obj", "obj_kind", "obj_datatype"))
-    joinborn = join_born_triples(sides, lcsh, hot_threshold=hot_threshold,
-                                 num_salts=num_salts).unionByName(collision)
-    obs_join = Observation("join_edges")
-    write_stage(dedup_edges(joinborn).observe(
-        obs_join, F.count(F.lit(1)).alias("n")),
-        out_dir, "edges", mode="append")
-    n_join = obs_join.get["n"]
-    metrics["stages"]["link_dedup"] = {
-        "wall_ms": int((time.time() - t0) * 1000), "rows": n_join}
+
+    # -- tail: link(+nodes) ∥ canonical_map ∥ audit ---------------------------
+    # all three chains read only already-materialized inputs (the sink, the
+    # d=0 parquet, the pages parquet); Spark schedules concurrent jobs from
+    # threads, overlapping their fixed costs and filling idle cores
+    import threading
+    t_tail = time.time()
+    results: dict = {}
+
+    def _run_link_then_nodes():
+        t = time.time()
+        collision = (sides.filter(F.col("kind") == "triple")
+                     .select("subj", "pred", "obj", "obj_kind",
+                             "obj_datatype"))
+        joinborn = join_born_triples(
+            sides, lcsh, hot_threshold=hot_threshold,
+            num_salts=num_salts).unionByName(collision)
+        obs_join = Observation("join_edges")
+        write_stage(dedup_edges(joinborn).observe(
+            obs_join, F.count(F.lit(1)).alias("n")),
+            out_dir, "edges/d=1")
+        results["n_join"] = obs_join.get["n"]
+        results["link_ms"] = int((time.time() - t) * 1000)
+        # nodes needs the full edge set (join-born objects mint node ids)
+        t = time.time()
+        edges_all = read_stage(spark, out_dir, "edges")
+        write_stage(build_nodes(edges_all), out_dir, "nodes")
+        results["nodes_ms"] = int((time.time() - t) * 1000)
+
+    def _run_cmap():
+        t = time.time()
+        from .canonicalize import canonical_map_from_blocks
+        block_ids = (sides.filter(F.col("kind") == "block_id")
+                     .select(F.col("subj").alias("entity"),
+                             F.col("obj").alias("block_key")))
+        names = (sides.filter(F.col("kind") == "author_name")
+                 .select(F.col("subj").alias("author_key"),
+                         F.col("obj").alias("name")))
+        write_stage(canonical_map_from_blocks(block_ids, names),
+                    out_dir, "canonical_map")
+        results["cmap_ms"] = int((time.time() - t) * 1000)
+
+    def _run_audit():
+        results["audit"] = audit_pages(pages)
+
+    errs: list = []
+
+    def _guard(fn):
+        def inner():
+            try:
+                fn()
+            except BaseException as e:  # propagate to the main thread
+                errs.append(e)
+        return inner
+
+    threads = [threading.Thread(target=_guard(_run_link_then_nodes)),
+               threading.Thread(target=_guard(_run_audit))]
+    if with_canonical_map:
+        threads.append(threading.Thread(target=_guard(_run_cmap)))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if errs:
+        raise errs[0]
+    # parent-level completion marker for readers of <out>/edges
+    open(os.path.join(out_dir, "edges", "_SUCCESS"), "w").close()
+    n_join = results["n_join"]
+    metrics["stages"]["link_dedup"] = {"wall_ms": results["link_ms"],
+                                       "rows": n_join}
+    if with_canonical_map:
+        metrics["stages"]["canonical_map"] = {"wall_ms": results["cmap_ms"]}
+    metrics["stages"]["tail"] = {
+        "wall_ms": int((time.time() - t_tail) * 1000),
+        "nodes_ms": results["nodes_ms"]}
 
     edges = read_stage(spark, out_dir, "edges")
     append_lineage(spark, out_dir, run_id, "edges", edges,
                    metrics["stages"]["link_dedup"]["wall_ms"])
 
-    if with_canonical_map:
-        t0 = time.time()
-        names = (sides.filter(F.col("kind") == "author_name")
-                 .select(F.col("subj").alias("author_key"),
-                         F.col("obj").alias("name")))
-        write_stage(canonical_map(edges, names), out_dir, "canonical_map")
-        metrics["stages"]["canonical_map"] = {
-            "wall_ms": int((time.time() - t0) * 1000)}
-
-    t0 = time.time()
-    write_stage(build_nodes(edges), out_dir, "nodes")
-    metrics["stages"]["materialize"] = {
-        "wall_ms": int((time.time() - t0) * 1000)}
-
-    # byte-identity audit over the sink's page rows; distinct-url aggregation
-    # keeps the count exact even if a retried task duplicated sink files
-    audit = (sides.filter(F.col("kind") == "page")
-             .groupBy("url")
-             .agg(F.max(F.when(F.col("obj") != "ok", 1).otherwise(0))
-                  .alias("mm"))
-             .agg(F.count(F.lit(1)).alias("pages"),
-                  F.sum("mm").alias("mismatches")).first())
+    audit = results["audit"]
     n_triples = n_direct + n_join
     total_s = time.time() - t_total
     metrics.update(triples=n_triples, wall_s=round(total_s, 3),

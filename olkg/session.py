@@ -46,7 +46,23 @@ def build_session(
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("OLKG_MAX_PARTITION_BYTES", "16m"))
         .config("spark.sql.files.openCostInBytes", "1m")
+        # AQE coalesce target: the 64m default collapses bench-scale shuffles
+        # to 1-2 post-shuffle partitions, serializing reduce stages however
+        # many cores exist (measured: 2m cut the 8-core e2e wall ~30%).  At
+        # genuine cluster scale set this back up via the env var.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("OLKG_ADVISORY_PARTITION_BYTES", "2m"))
     )
+    # Shuffle/spill scratch: on a real cluster this is per-executor local SSD
+    # whose aggregate bandwidth scales with the node count; this sandbox has
+    # ONE shared disk, which would serialize every run's shuffle I/O behind a
+    # fixed device.  tmpfs (RAM-backed) models the per-node-scaling scratch
+    # correctly here.  Overridable/disable with OLKG_LOCAL_DIR.
+    local_dir = os.environ.get("OLKG_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/olkg-spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if shuffle_partitions is None:
         # default: match default parallelism at local scale; clusters should
         # set this explicitly (≈ 2-3x total cores)

@@ -166,3 +166,33 @@ def cosine_topk_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 5,
                              vec_col)
     return _topk_from_signatures(embeddings, sig, query_ids, k, id_col,
                                  vec_col)
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, planes: DataFrame,
+                             threshold: float = 0.9,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket candidate
+    generation (shared hyperplane table → bucket set reproducible in any
+    engine) + exact cosine verification — (id_a, id_b, cos_sim) for
+    same-bucket pairs with cosine ≥ threshold.
+
+    The threshold compares the unrounded cosine (rounding is display-only).
+    Candidate cost is bucket-quadratic, not corpus-quadratic: the bucket
+    join shuffles on the bucket key, so skewed buckets are the thing to
+    watch — lower num_planes widens buckets, more tables raises recall."""
+    sig = lsh_signatures_from_planes(embeddings, planes, id_col, vec_col)
+    a = sig.select(F.col("id").alias("id_a"), "bucket")
+    b = sig.select(F.col("id").alias("id_b"), "bucket")
+    cand = (a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    va = embeddings.select(F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"),
+                           F.col(vec_col).alias("vb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) *
+                                            _norm(F.col("vb")))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .filter(sim >= threshold)
+            .select("id_a", "id_b", F.round(sim, 4).alias("cos_sim")))

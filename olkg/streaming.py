@@ -1,0 +1,72 @@
+"""Structured Streaming surfaces.
+
+The reference is a batch converter; these wrap the same extraction semantics
+for continuous ingest, the way a crawl feed would arrive in production:
+
+- :func:`stream_extract`: file-source stream of pages → per-micro-batch
+  extraction (the SAME spec-tested extract + link-input side rows) appended
+  to a triples directory.  ``foreachBatch`` + the streaming checkpoint give
+  exactly-once per micro-batch on restart; resume = restart with the same
+  checkpoint location (north_rule's idempotent-resume posture, streaming
+  flavor).
+- :func:`stream_events_hourly`: watermarked sliding-window aggregation over
+  an event stream — the late-data-tolerant stateful operator pattern
+  (watermark bounds state; late rows beyond it are dropped deterministically).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schema import PAGES_SCHEMA
+
+
+def stream_extract(spark: SparkSession, input_dir: str, out_dir: str,
+                   trigger_available_now: bool = True):
+    """Continuous KG ingest: watch ``input_dir`` for pages parquet files,
+    extract each micro-batch with the batch-identical UDF, append the
+    unified extract rows (kind-discriminated) to ``<out_dir>/extract_stream``.
+
+    Returns the StreamingQuery.  With ``trigger_available_now`` the query
+    drains everything currently present and stops (the test/backfill mode);
+    without it, it runs until stopped (the production mode)."""
+    from .extract import extract_pages
+
+    dest = os.path.join(out_dir, "extract_stream")
+    checkpoint = os.path.join(out_dir, "_stream_checkpoint")
+
+    pages = (spark.readStream
+             .schema(PAGES_SCHEMA)
+             .parquet(input_dir))
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (extract_pages(batch_df)
+         .write.mode("append").parquet(dest))
+
+    writer = (pages.writeStream
+              .foreachBatch(_process)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_events_hourly(events: DataFrame,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Watermarked hourly windowed aggregation over a streaming events
+    DataFrame (ts, user_id, value): late rows within ``watermark`` still
+    merge into their window; older ones are dropped and the window state is
+    evicted — bounded state at any stream length."""
+    return (events
+            # watermarks require TIMESTAMP (not NTZ); session TZ is UTC
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("sum_value"))
+            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00")
+                    .alias("hour"), "user_id", "n_events", "sum_value"))

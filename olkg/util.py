@@ -321,3 +321,47 @@ _CNTRL_RE = re.compile(r"[\x00-\x1f\x7f]")
 def scrub_cntrl(s: str) -> str:
     """Ruby ``gsub(/[[:cntrl:]]/, '')`` (lib/edition.rb:139-140)."""
     return _CNTRL_RE.sub("", s)
+
+
+_NT_ECHAR = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+             '"': '"', "'": "'", "\\": "\\"}
+
+
+def nt_unescape(s: str) -> str:
+    """Full N-Triples string-literal unescaping per the grammar the
+    reference's RDF reader implements (lib/util.rb:25-34 via RDF.rb):
+    ECHAR (\\t \\b \\n \\r \\f \\" \\' \\\\) and UCHAR (\\uXXXX /
+    \\UXXXXXXXX).  Malformed escapes pass through verbatim rather than
+    failing the load (a bad label should drop a join row, not the job)."""
+    if s is None or "\\" not in s:
+        return s
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "\\" or i + 1 >= n:
+            out.append(c)
+            i += 1
+            continue
+        nxt = s[i + 1]
+        if nxt == "u" and i + 6 <= n:
+            try:
+                out.append(chr(int(s[i + 2:i + 6], 16)))
+                i += 6
+                continue
+            except ValueError:
+                pass
+        if nxt == "U" and i + 10 <= n:
+            try:
+                out.append(chr(int(s[i + 2:i + 10], 16)))
+                i += 10
+                continue
+            except ValueError:
+                pass
+        if nxt in _NT_ECHAR:
+            out.append(_NT_ECHAR[nxt])
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)

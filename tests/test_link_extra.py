@@ -53,3 +53,42 @@ def test_ntriples_escaping(spark):
     assert ('<http://e/s> <http://e/p> "2009-10-15T15:17:23+00:00"'
             '^^<http://www.w3.org/2001/XMLSchema#dateTime> .' in lines)
     assert "<http://e/s> <http://e/p> _:b2 ." in lines
+
+
+def test_nt_unescape_pure():
+    from olkg.util import nt_unescape
+    assert nt_unescape('Qu\\u00E9bec (Province)') == "Québec (Province)"
+    assert nt_unescape(r'a\"b') == 'a"b'
+    assert nt_unescape(r'tab\there') == "tab\there"
+    assert nt_unescape(r'nl\nhere') == "nl\nhere"
+    assert nt_unescape(r'back\\slash') == "back\\slash"
+    assert nt_unescape(r'astral \U0001F600 ok') == "astral \U0001F600 ok"
+    assert nt_unescape("plain") == "plain"
+    # malformed escapes pass through, never raise
+    assert nt_unescape("bad\\") == "bad\\"
+    assert nt_unescape(r'bad\uZZZZ tail') == r'bad\uZZZZ tail'
+
+
+def test_lcsh_loader_unescapes_labels(spark, tmp_path):
+    """Escaped labels in the N-Triples dump must match extract-time probe
+    labels byte-for-byte (lib/util.rb:25-34 reads via RDF.rb, which fully
+    unescapes)."""
+    from olkg.link import load_lcsh_ntriples
+    nt = "\n".join([
+        '<http://id.loc.gov/authorities/names/n42> '
+        '<http://www.w3.org/2004/02/skos/core#prefLabel> '
+        '"Qu\\u00E9bec (Province)" .',
+        '<http://id.loc.gov/authorities/subjects/sh9> '
+        '<http://www.w3.org/2004/02/skos/core#prefLabel> '
+        r'"Say \"cheese\"" .',
+        '<http://id.loc.gov/authorities/subjects/sh10> '
+        '<http://www.w3.org/2004/02/skos/core#altLabel> '
+        r'"Back\\slash & tab\t" .',
+    ])
+    p = tmp_path / "lcsh_esc.nt"
+    p.write_text(nt)
+    dim = {r.label: r.uri for r in load_lcsh_ntriples(spark, str(p)).collect()}
+    assert dim["Québec (Province)"] == "http://id.loc.gov/authorities/names/n42"
+    assert dim['Say "cheese"'] == "http://id.loc.gov/authorities/subjects/sh9"
+    assert dim["Back\\slash & tab\t"] == \
+        "http://id.loc.gov/authorities/subjects/sh10"

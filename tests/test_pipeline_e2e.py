@@ -216,3 +216,68 @@ def test_direct_join_born_disjointness(spark, corpus):
     for t in collision:
         assert t[1] == V.OL_AUTHOR or (
             t[1] == V.DC_SUBJECT and t[3] == "uri")
+
+
+def test_iceberg_write_dispatch(spark):
+    """write_stage(table_format='iceberg') must go through the V2 writer,
+    honoring partition_by on create and using append() for appends — no
+    silently-ignored arguments (no Iceberg jars in this sandbox, so the
+    writer is captured with a stub)."""
+    from unittest import mock
+    from olkg.materialize import write_stage
+    df = spark.createDataFrame([(1, "a")], ["id", "kind"])
+
+    writer = mock.MagicMock()
+    with mock.patch.object(type(df), "writeTo", return_value=writer) as wt:
+        write_stage(df, "/tmp/unused", "edges", partition_by=["kind"],
+                    table_format="iceberg")
+    wt.assert_called_once_with("olkg.edges")
+    writer.partitionedBy.assert_called_once()
+    writer.partitionedBy.return_value.createOrReplace.assert_called_once()
+    writer.append.assert_not_called()
+
+    writer = mock.MagicMock()
+    with mock.patch.object(type(df), "writeTo", return_value=writer):
+        write_stage(df, "/tmp/unused", "edges", table_format="iceberg",
+                    mode="append")
+    writer.append.assert_called_once()
+    writer.partitionedBy.assert_not_called()
+    writer.createOrReplace.assert_not_called()
+
+
+def test_cc_reliable_checkpoint(spark, tmp_path):
+    """The durable path's CC loop checkpoints to the given directory
+    (distributed storage on a cluster) and still converges to the right
+    components."""
+    import os
+    from olkg.canonicalize import connected_components
+    pairs = spark.createDataFrame(
+        [("e1", "k1"), ("e2", "k1"), ("e2", "k2"), ("e3", "k2"),
+         ("e4", "k9"),  # singleton key: excluded from the map
+         ("e5", "k5"), ("e6", "k5")],
+        ["entity", "block_key"])
+    ckdir = str(tmp_path / "cc_ck")
+    cc = connected_components(pairs, truncate_every=1, reliable_dir=ckdir)
+    got = {r.entity: r.canonical_id for r in cc.collect()}
+    assert got == {"e1": "e1", "e2": "e1", "e3": "e1",
+                   "e5": "e5", "e6": "e5"}
+    # at least one reliable checkpoint landed in the stage directory
+    found = any(files for _, _, files in os.walk(ckdir))
+    assert found, "no reliable checkpoint files written"
+
+
+def test_ntriples_dated_single_file(spark, pipeline_out, tmp_path):
+    """K1 parity: openlibrary-YYYY-MM-DD.nt.gz filename convention
+    (openlibrary_to_rdf.rb:22)."""
+    import gzip
+    import os
+    from olkg.materialize import export_ntriples_gz
+    out, _, _ = pipeline_out
+    edges = spark.read.parquet(out + "/edges")
+    dest = str(tmp_path / "nt_dated")
+    export_ntriples_gz(edges, dest, dated_single_file=True, date="2026-08-16")
+    fname = os.path.join(dest, "openlibrary-2026-08-16.nt.gz")
+    assert os.path.exists(fname)
+    with gzip.open(fname, "rt", encoding="utf-8") as f:
+        n = sum(1 for _ in f)
+    assert n == edges.count()
