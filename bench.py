@@ -73,6 +73,13 @@ def main() -> None:
     from olkg.pipeline import run_pipeline, run_pipeline_fast
     lcsh = spark.read.parquet(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "data", "lcsh.parquet"))
+    # untimed warmup: JIT the extraction path and spin up the Python workers
+    # so the first timed pipeline doesn't carry one-time costs
+    from olkg.extract import extract_pages
+    from olkg.fixtures import corpus_lines
+    from olkg.pagesgen import build_pages_df
+    extract_pages(build_pages_df(spark, corpus_lines())).count()
+
     # headline: the single-extraction throughput path (what the scaling gate
     # measures); the durable checkpoint-everything path is timed separately
     t0 = time.time()

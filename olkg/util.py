@@ -365,3 +365,10 @@ def nt_unescape(s: str) -> str:
         out.append(c)
         i += 1
     return "".join(out)
+
+
+def lpad(s: str, count: int = 1) -> str:
+    """Ruby ``String#lpad`` (lib/util.rb:50-52): prefix ``count`` spaces.
+    Unused by the reference pipeline itself; provided for API completeness
+    (SURVEY.md §2.8)."""
+    return " " * count + s

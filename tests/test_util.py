@@ -128,3 +128,10 @@ def test_det_bnode_deterministic():
     assert det_bnode("k", "birth") != det_bnode("k", "death")
     assert det_bnode("k", "authlist", 0) != det_bnode("k", "authlist", 1)
     assert det_bnode("k", "birth").startswith("_:b")
+
+
+def test_lpad():
+    from olkg.util import lpad
+    assert lpad("x") == " x"
+    assert lpad("x", 3) == "   x"
+    assert lpad("", 2) == "  "
