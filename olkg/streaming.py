@@ -70,3 +70,66 @@ def stream_events_hourly(events: DataFrame,
                  .cast("double").alias("sum_value"))
             .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00")
                     .alias("hour"), "user_id", "n_events", "sum_value"))
+
+
+def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: gap-based per-user sessionization via
+    ``applyInPandasWithState`` (the arbitrary-stateful-processing escape
+    hatch when windowed aggs can't express the semantics — a session has no
+    fixed window).
+
+    Emits CLOSED sessions: within a micro-batch, a gap > ``gap_minutes``
+    between consecutive events of a user closes the earlier session; the
+    trailing open session is carried in state and closed either by a later
+    batch's events or by the event-time timeout (watermark passing
+    session_end + gap).  State per user is one fixed-width row — bounded
+    regardless of stream length."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("user_id bigint, session_start timestamp, "
+                  "session_end timestamp, n_events bigint, sum_value double")
+    state_schema = ("session_start timestamp, session_end timestamp, "
+                    "n_events bigint, sum_value double")
+    gap_ms = gap_minutes * 60 * 1000
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        user_id = key[0]
+        cols = ["user_id", "session_start", "session_end", "n_events",
+                "sum_value"]
+
+        if state.hasTimedOut:
+            st, en, n, s = state.get
+            state.remove()
+            yield pd.DataFrame([(user_id, st, en, n, s)], columns=cols)
+            return
+
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                if cur is None:
+                    cur = [ts, ts, 0, 0.0]
+                elif (ts - cur[1]).total_seconds() * 1000 > gap_ms:
+                    closed.append((user_id, *cur))
+                    cur = [ts, ts, 0, 0.0]
+                cur[1] = ts
+                cur[2] += 1
+                cur[3] += float(val)
+        if cur is not None:
+            state.update(tuple(cur))
+            # close the trailing session when the watermark passes its gap
+            state.setTimeoutTimestamp(
+                int(cur[1].timestamp() * 1000) + gap_ms)
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
+
+    return (events
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", f"{gap_minutes} minutes")
+            .groupBy("user_id")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.EventTimeTimeout))

@@ -66,3 +66,54 @@ def test_stream_events_hourly_matches_batch(spark, tmp_path):
     # append mode emits only windows the watermark has closed; with
     # availableNow over a finite file source every window closes
     assert g == w and len(g) > 0
+
+
+def test_stream_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch gap closes a session;
+    the trailing open session survives in state and closes on a later
+    batch's event (exactly-once across restarts via the checkpoint)."""
+    import datetime as dt
+    from olkg.streaming import stream_sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    in_dir = tmp_path / "sess_in"
+    in_dir.mkdir()
+    rows_a = [
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=5), 2.0),
+        (1, t0 + dt.timedelta(minutes=60), 4.0),   # > 30 min gap → new sess
+        (2, t0, 8.0),
+    ]
+    dfa = spark.createDataFrame(rows_a, "user_id long, ts timestamp, value double")
+    dfa.write.parquet(str(in_dir / "a.parquet"))
+
+    out = str(tmp_path / "sess_out")
+    ck = str(tmp_path / "sess_ck")
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("user_id long, ts timestamp, value double")
+                  .parquet(str(in_dir) + "/*"))
+        q = (stream_sessionize(stream, gap_minutes=30)
+             .writeStream.outputMode("append")
+             .option("checkpointLocation", ck)
+             .format("parquet").option("path", out)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+           for r in spark.read.parquet(out).collect()}
+    assert (1, t0, t0 + dt.timedelta(minutes=5), 2, 3.0) in got
+    # open sessions (user1 @t0+60, user2 @t0) not yet emitted
+    assert len(got) == 1
+
+    # batch B: a much later event closes user 1's open session
+    rows_b = [(1, t0 + dt.timedelta(minutes=200), 16.0)]
+    dfb = spark.createDataFrame(rows_b, "user_id long, ts timestamp, value double")
+    dfb.write.parquet(str(in_dir / "b.parquet"))
+    run_once()
+    got2 = {(r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(out).collect()}
+    assert (1, t0 + dt.timedelta(minutes=60),
+            t0 + dt.timedelta(minutes=60), 1) in got2
