@@ -25,6 +25,7 @@ PAGES = os.path.join(REPO, "data", "pages.parquet")
 LCSH = os.path.join(REPO, "data", "lcsh.parquet")
 GOLDEN = os.path.join(REPO, "data", "golden_edges.parquet")
 PLANES = os.path.join(REPO, "data", "hyperplanes.parquet")
+CENTROIDS = os.path.join(REPO, "data", "ivf_centroids.parquet")
 
 _CACHE: dict = {}
 
@@ -206,6 +207,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     return cosine_topk_lsh(emb, query_ids=list(range(10)), k=5, planes=planes)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k over the committed coarse codebook
+    (data/ivf_centroids.parquet) — cell assignment and probing are
+    engine-identical, so the oracle reproduces the exact result."""
+    from olkg.simsearch import ivf_topk
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = emb.withColumn("embedding",
+                         F.transform("embedding", lambda x: x.cast("double")))
+    cents = spark.read.parquet(CENTROIDS)
+    return ivf_topk(emb, cents, query_ids=list(range(10)), k=5, nprobe=4)
+
+
 def q_doc_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup: LSH-bucket candidates (committed shared
     hyperplane table → identical buckets in both engines) verified with the
@@ -283,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "doc_embedding_neardup": q_doc_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
@@ -421,6 +435,37 @@ def oracle_sql() -> dict[str, str]:
             "bit_count(xor(a.simhash, b.simhash)) AS hamming "
             "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3",
+        # IVF: identical cell assignment + probing from the committed
+        # codebook in both engines → identical candidates and top-k
+        "ann_ivf_topk":
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            f"cen AS (SELECT centroid_id, c FROM read_parquet('{CENTROIDS}')), "
+            "ac AS (SELECT vec_id, centroid_id, "
+            "-(list_dot_product(v, c) / (sqrt(list_dot_product(v, v)) * "
+            "sqrt(list_dot_product(c, c)))) AS nd FROM e CROSS JOIN cen), "
+            "cells AS (SELECT vec_id, centroid_id AS cell FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY nd, centroid_id) AS rn FROM ac) WHERE rn = 1), "
+            "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10), "
+            "probes AS (SELECT query_id, centroid_id AS cell FROM ("
+            "SELECT q.query_id, cen.centroid_id, "
+            "row_number() OVER (PARTITION BY q.query_id ORDER BY "
+            "(list_dot_product(q.qv, cen.c) / (sqrt(list_dot_product(q.qv, q.qv)) "
+            "* sqrt(list_dot_product(cen.c, cen.c)))) DESC, centroid_id) AS r "
+            "FROM q CROSS JOIN cen) WHERE r <= 4), "
+            "cand AS (SELECT DISTINCT p.query_id, cl.vec_id AS neighbor_id "
+            "FROM probes p JOIN cells cl ON p.cell = cl.cell "
+            "WHERE cl.vec_id != p.query_id), "
+            "scored AS (SELECT c.query_id, c.neighbor_id, "
+            "round(list_dot_product(q.qv, e.v) / "
+            "(sqrt(list_dot_product(q.qv, q.qv)) * "
+            "sqrt(list_dot_product(e.v, e.v))), 4) AS cos_sim "
+            "FROM cand c JOIN q ON c.query_id = q.query_id "
+            "JOIN e ON c.neighbor_id = e.vec_id) "
+            "SELECT query_id, neighbor_id, cos_sim, rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored) "
+            "WHERE rank <= 5",
         # embedding-cosine near-dup: both engines derive identical LSH
         # buckets from the committed plane table; exact cosine verified
         "doc_embedding_neardup":

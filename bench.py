@@ -108,7 +108,7 @@ def main() -> None:
     bench_queries = [
         "doc_dedup_exact", "doc_fingerprints", "doc_token_counts",
         "doc_quality", "doc_lang_id", "doc_ngram_jaccard", "doc_minhash_lsh",
-        "doc_simhash_pairs", "ann_cosine_topk", "ann_lsh_topk",
+        "doc_simhash_pairs", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
         "doc_embedding_neardup",
         "multimodal_features", "events_hourly", "agg_pricing_summary",
         "join_revenue_by_nation",

@@ -196,3 +196,59 @@ def embedding_near_dup_pairs(embeddings: DataFrame, planes: DataFrame,
     return (cand.join(va, "id_a").join(vb, "id_b")
             .filter(sim >= threshold)
             .select("id_a", "id_b", F.round(sim, 4).alias("cos_sim")))
+
+
+# --- IVF (coarse-quantizer) ANN -------------------------------------------
+
+def ivf_assignments(embeddings: DataFrame, centroids: DataFrame,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(id, cell): assign every vector to its max-cosine centroid from the
+    committed codebook (ties → lowest centroid_id, deterministic).  The
+    codebook is tiny → broadcast; assignment is one narrow pass + a groupBy
+    argmin whose shuffle carries one row per vector."""
+    cj = embeddings.crossJoin(F.broadcast(
+        centroids.select("centroid_id", "c")))
+    neg = -(_dot(F.col(vec_col), F.col("c")) /
+            (_norm(F.col(vec_col)) * _norm(F.col("c"))))
+    return (cj.groupBy(F.col(id_col).alias("id"))
+            .agg(F.min(F.struct(neg.alias("nd"),
+                                F.col("centroid_id").alias("cid"))).alias("m"))
+            .select("id", F.col("m.cid").alias("cell")))
+
+
+def ivf_topk(embeddings: DataFrame, centroids: DataFrame,
+             query_ids: list[int], k: int = 5, nprobe: int = 4,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN top-k: score only vectors whose cell is among each query's
+    ``nprobe`` nearest centroids.  Same output schema as the other top-k
+    variants; recall < 1 by design (traded against scanning ~nprobe/k_cells
+    of the corpus).  At scale the assignment is computed once offline and
+    the corpus is laid out cell-partitioned, so a query touches only its
+    probed cells' files."""
+    cells = ivf_assignments(embeddings, centroids, id_col, vec_col)
+
+    q = (embeddings.filter(F.col(id_col).isin(query_ids))
+         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
+    qc = q.crossJoin(F.broadcast(centroids.select("centroid_id", "c")))
+    qcos = (_dot(F.col("qv"), F.col("c")) /
+            (_norm(F.col("qv")) * _norm(F.col("c"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("centroid_id"))
+    probes = (qc.select("query_id", "centroid_id", qcos.alias("qcos"))
+              .withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") <= nprobe)
+              .select("query_id", F.col("centroid_id").alias("cell")))
+
+    cand = (cells.join(F.broadcast(probes), "cell")
+            .filter(F.col("id") != F.col("query_id"))
+            .select("query_id", F.col("id").alias("neighbor_id")))
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cv"))
+    scored = (cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id"))
+    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) *
+                                            _norm(F.col("cv")))
+    return _topk_per_query(
+        scored.select("query_id", "neighbor_id",
+                      F.round(sim, 4).alias("cos_sim")), k)

@@ -59,6 +59,20 @@ def main():
     })
     pq.write_table(planes_tbl, os.path.join(OUT, "hyperplanes.parquet"))
 
+    # IVF coarse codebook: k deterministic pseudo-random centroids — both
+    # engines READ the same values, so cell assignment is engine-identical
+    K = 16
+    crows = []
+    for cid in range(K):
+        c = [hashlib.md5(f"ivf|{cid}|{j}".encode()).digest()[0] / 255.0 - 0.5
+             for j in range(DIM)]
+        crows.append((cid, c))
+    cent_tbl = pa.table({
+        "centroid_id": pa.array([r[0] for r in crows], pa.int32()),
+        "c": pa.array([r[1] for r in crows], pa.list_(pa.float64())),
+    })
+    pq.write_table(cent_tbl, os.path.join(OUT, "ivf_centroids.parquet"))
+
     golden = sorted(golden_triples(lines, dict(LCSH_ROWS)))
     gdf = pd.DataFrame(golden, columns=["subj", "pred", "obj", "obj_kind",
                                         "obj_datatype"])

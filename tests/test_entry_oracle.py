@@ -97,3 +97,26 @@ def test_multimodal_decode_stub_raises():
     from olkg.multimodal import decode_stub
     with pytest.raises(NotImplementedError):
         decode_stub(b"\x89PNG", "image/png")
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF top-k must overlap brute force meaningfully at nprobe=4/16 cells
+    and reach full recall when probing every cell."""
+    import os
+    from pyspark.sql import functions as F
+    from olkg.simsearch import cosine_topk_bruteforce, ivf_topk
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    emb = emb.withColumn("embedding",
+                         F.transform("embedding", lambda x: x.cast("double")))
+    cents = spark.read.parquet(
+        os.path.join(os.path.dirname(entry_mod.__file__), "data",
+                     "ivf_centroids.parquet"))
+    qids = list(range(5))
+    bf = {(r.query_id, r.neighbor_id)
+          for r in cosine_topk_bruteforce(emb, qids, k=5).collect()}
+    ivf4 = {(r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, cents, qids, k=5, nprobe=4).collect()}
+    assert len(bf & ivf4) / len(bf) >= 0.2
+    ivf_all = {(r.query_id, r.neighbor_id)
+               for r in ivf_topk(emb, cents, qids, k=5, nprobe=16).collect()}
+    assert ivf_all == bf  # probing every cell == exact
