@@ -236,6 +236,15 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(documents_as_binary(_docs(spark, sf_dir)))
 
 
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (batch twin of streaming.stream_sessionize):
+    lag + cumulative-sum session ids, 30-minute gap."""
+    from olkg.textops import sessionize_events
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sessionize_events(ev, gap_minutes=30)
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return (ev.groupBy("user_id",
@@ -300,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_embedding_neardup": q_doc_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
     }
@@ -526,6 +536,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, octet_length(encode(text)) AS byte_len, "
             "substr(md5(substr(text, 1, 16)), 1, 8) AS header_hash, "
             "'text/plain' AS modality FROM documents",
+        "events_sessions":
+            "WITH o AS (SELECT user_id, ts, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)), "
+            "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id "
+            "ORDER BY ts, value ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+            "SELECT user_id, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+            "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end, "
+            "count(*) AS n_events, "
+            "sum(value::DECIMAL(18,4))::DOUBLE AS sum_value "
+            "FROM s GROUP BY user_id, sid",
         "events_hourly":
             "SELECT user_id, strftime(date_trunc('hour', ts), "
             "'%Y-%m-%d %H:00:00') AS hour, count(*) AS n_events, "

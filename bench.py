@@ -110,7 +110,7 @@ def main() -> None:
         "doc_quality", "doc_lang_id", "doc_ngram_jaccard", "doc_minhash_lsh",
         "doc_simhash_pairs", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
         "doc_embedding_neardup",
-        "multimodal_features", "events_hourly", "agg_pricing_summary",
+        "multimodal_features", "events_hourly", "events_sessions", "agg_pricing_summary",
         "join_revenue_by_nation",
     ]
     qmap = entry.queries()

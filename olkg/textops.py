@@ -322,3 +322,33 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
     one)."""
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     return documents.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (batch twin of streaming.stream_sessionize)
+# ---------------------------------------------------------------------------
+
+def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch gap-based sessionization: a new session starts where the gap to
+    the previous event of the same user exceeds ``gap_minutes``.  Classic
+    lag + cumulative-sum session ids — two window passes over the same
+    (user_id, ts) partitioning, so Catalyst reuses one sort+shuffle."""
+    w = Window.partitionBy("user_id").orderBy("ts", "value")
+    gap_s = gap_minutes * 60
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() |
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev) > gap_s), 1
+    ).otherwise(0)
+    with_id = events.withColumn("_sid", F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (with_id.groupBy("user_id", "_sid")
+            .agg(F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_start"),
+                 F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                 .alias("sum_value"))
+            .select("user_id", "session_start", "session_end", "n_events",
+                    "sum_value"))
