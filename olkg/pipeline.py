@@ -141,7 +141,9 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
                       num_salts: int = 16,
                       repartition_by_url: int | None = None,
                       with_canonical_map: bool = True,
-                      dedup_pages: bool = False) -> dict:
+                      dedup_pages: bool = False,
+                      dedup_strategy: str = "partial",
+                      dedup_partitions: int | None = None) -> dict:
     """Single-materialization, SINGLE-EXTRACTION variant.
 
     The expensive Python extraction UDF runs exactly once per page: the big
@@ -202,7 +204,8 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
     stream = extract_triples_with_side_sink(
         pages, sides_sink, repartition_by_url=repartition_by_url)
     obs_direct = Observation("direct_edges")
-    direct_edges = dedup_edges(stream).observe(
+    direct_edges = dedup_edges(stream, strategy=dedup_strategy,
+                               num_partitions=dedup_partitions).observe(
         obs_direct, F.count(F.lit(1)).alias("n"))
     write_stage(direct_edges, out_dir, "edges/d=0")
     n_direct = obs_direct.get["n"]
@@ -318,6 +321,14 @@ def main(argv=None):
     ap.add_argument("--dedup-pages", action="store_true",
                     help="exact-dedup pages by content hash before extract "
                          "(fast mode only)")
+    ap.add_argument("--dedup-strategy", default="partial",
+                    choices=["partial", "prepartition"],
+                    help="edge dedup: 'prepartition' skips the map-side "
+                         "partial aggregate (use beyond ~1-2M rows per map "
+                         "task; see olkg.canonicalize.dedup_edges)")
+    ap.add_argument("--dedup-partitions", type=int, default=None,
+                    help="partition count for --dedup-strategy prepartition "
+                         "(size to ~1M rows each)")
     args = ap.parse_args(argv)
 
     from .session import build_session
@@ -334,7 +345,9 @@ def main(argv=None):
                                     hot_threshold=args.hot_threshold,
                                     num_salts=args.num_salts,
                                     repartition_by_url=args.repartition_by_url,
-                                    dedup_pages=args.dedup_pages)
+                                    dedup_pages=args.dedup_pages,
+                                    dedup_strategy=args.dedup_strategy,
+                                    dedup_partitions=args.dedup_partitions)
     else:
         metrics = run_pipeline(spark, args.pages, args.out, lcsh=lcsh,
                                resume=not args.no_resume,

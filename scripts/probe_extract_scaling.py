@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--no-dedup", action="store_true")
     ap.add_argument("--udf-only", action="store_true",
                     help="count(1) over the UDF stream, no shuffle/write")
+    ap.add_argument("--prepart-dedup", action="store_true")
     ap.add_argument("--shm-out", action="store_true")
     ap.add_argument("--repartition", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -61,8 +62,13 @@ def main():
     if args.udf_only:
         n = stream.count()
     else:
-        df = stream if args.no_dedup else stream.dropDuplicates(
-            ["subj", "pred", "obj", "obj_kind", "obj_datatype"])
+        cols = ["subj", "pred", "obj", "obj_kind", "obj_datatype"]
+        if args.no_dedup:
+            df = stream
+        elif args.prepart_dedup:
+            df = stream.repartition(sp, *[__import__("pyspark.sql.functions", fromlist=["col"]).col(c) for c in cols]).dropDuplicates(cols)
+        else:
+            df = stream.dropDuplicates(cols)
         if not args.no_observe:
             obs = Observation("n")
             df = df.observe(obs, F.count(F.lit(1)).alias("n"))

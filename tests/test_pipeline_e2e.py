@@ -281,3 +281,23 @@ def test_ntriples_dated_single_file(spark, pipeline_out, tmp_path):
     with gzip.open(fname, "rt", encoding="utf-8") as f:
         n = sum(1 for _ in f)
     assert n == edges.count()
+
+
+def test_fast_pipeline_prepartition_dedup(spark, corpus, tmp_path_factory):
+    """dedup_strategy='prepartition' (the >2M-rows-per-task scale path)
+    produces the identical golden edge set."""
+    from olkg.pipeline import run_pipeline_fast
+    out = str(tmp_path_factory.mktemp("olkg_prepart_out"))
+    pages_path = str(tmp_path_factory.mktemp("pages_pp")) + "/pages.parquet"
+    build_pages_df(spark, corpus).write.mode("overwrite").parquet(pages_path)
+    lcsh = spark.createDataFrame(LCSH_ROWS, LCSH_SCHEMA)
+    metrics = run_pipeline_fast(spark, pages_path, out, lcsh=lcsh,
+                                hot_threshold=100, num_salts=4,
+                                with_canonical_map=False,
+                                dedup_strategy="prepartition",
+                                dedup_partitions=8)
+    result = edges_set(spark, out)
+    golden = golden_triples(corpus, dict(LCSH_ROWS))
+    p, r = precision_recall(result, golden)
+    assert p == 1.0 and r == 1.0
+    assert metrics["triples"] == len(golden)
