@@ -56,6 +56,9 @@ def ensure_bench_pages(spark, sf: str) -> str:
 
 def main() -> None:
     sf = _sf_name()
+    # tmpfs scratch is opt-in (session.py); the bench opts in so shuffle I/O
+    # models per-node local SSD instead of the sandbox's one shared disk
+    os.environ.setdefault("OLKG_TMPFS_SCRATCH", "1")
     from olkg.session import build_session
     # UDF task slots run a JVM thread + a Python worker (2 runnable threads);
     # at high core counts task.cpus=2 sizes slots to that reality instead of

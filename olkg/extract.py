@@ -20,15 +20,17 @@ Scale notes (100 TB posture):
   small side rows (author names, creation refs, LCSH probes, page audits —
   a few rows per page) to a parquet side sink from inside the task, so the
   expensive Python extraction runs EXACTLY ONCE per page and the large
-  intermediate is never materialized.  On a cluster the sink path is shared
-  storage (HDFS/S3 via pyarrow.fs).  Task retries can duplicate sink files;
+  intermediate is never materialized.  On a cluster the sink path must be
+  shared storage — the sink is written through ``pyarrow.fs`` resolved from
+  the URI in-task (hdfs://, s3a://→s3://, file://; see olkg.fsio), and the
+  driver cross-checks an executor-side row census against sink visibility,
+  failing loudly on a non-shared sink.  Task retries can duplicate sink files;
   every consumer is duplicate-tolerant (names/refs/probes feed joins whose
   outputs pass one dropDuplicates; page audits aggregate per distinct url).
 """
 
 from __future__ import annotations
 
-import os
 import uuid
 from collections.abc import Iterator
 
@@ -191,26 +193,37 @@ def audit_pages(pages: DataFrame):
         F.sum(F.when(~ok, 1).otherwise(0)).alias("mismatches")).first()
 
 
-def _make_sink_batches(side_sink: str):
+def _make_sink_batches(side_sink: str, side_count_acc=None):
     """Single-pass batch iterator over (line) rows: yields 5-column triple
     rows; side rows (incl. collision-class triples) accumulate across the
     task's batches and are written once per task to ``side_sink``.  The
     html→text inversion and the page audit happen JVM-side
     (:func:`pages_to_lines` / :func:`audit_pages`) — Python never touches
-    html bytes."""
+    html bytes.
+
+    The sink path may be a URI (``hdfs://``, ``s3a://``, ``file://``) or a
+    plain path: it is resolved IN-TASK via :func:`olkg.fsio.pa_fs`
+    (pyarrow), so executors write straight to shared storage — the cluster
+    precondition for the fast path.  ``side_count_acc`` (a Spark
+    accumulator) censuses written side rows so the driver can detect a sink
+    the executors wrote but it cannot see (see :func:`read_side_rows`)."""
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        from .fsio import pa_fs, pjoin
+
         side = _Cols(_COLS)
         for pdf in batches:
             out = _Cols(_TRIPLE_COLS)
-            for line in pdf["line"].tolist():
+            hots = (pdf["hot_ok"].tolist() if "hot_ok" in pdf
+                    else [False] * len(pdf))
+            for line, hot in zip(pdf["line"].tolist(), hots):
                 rec = parse_dump_line(line) if line is not None else None
                 if rec is None:
                     continue
-                res = extract_record(rec[0], rec[4])
+                res = extract_record(rec[0], rec[4], skip_hot=bool(hot))
                 if res is None:
                     continue
                 src_type = rec[0]
@@ -241,32 +254,76 @@ def _make_sink_batches(side_sink: str):
             tbl = pa.table(
                 {n: pa.array(c, type=pa.string())
                  for n, c in zip(side.names, side.cols)})
-            os.makedirs(side_sink, exist_ok=True)
+            fs, sink_path = pa_fs(side_sink)
+            fs.create_dir(sink_path, recursive=True)
             pq.write_table(
-                tbl, os.path.join(side_sink, f"part-{uuid.uuid4().hex}.parquet"),
-                compression="zstd")
+                tbl, pjoin(sink_path, f"part-{uuid.uuid4().hex}.parquet"),
+                filesystem=fs, compression="zstd")
+            if side_count_acc is not None:
+                side_count_acc.add(len(side))
 
     return _batches
 
 
 def extract_triples_with_side_sink(pages: DataFrame, side_sink: str,
-                                   repartition_by_url: int | None = None
-                                   ) -> DataFrame:
+                                   repartition_by_url: int | None = None,
+                                   side_count_acc=None,
+                                   native_hot: bool = True) -> DataFrame:
     """Single-pass extraction: returns the (non-collision) triple stream;
     side rows land in ``side_sink`` when the returned stream is executed.
     The caller MUST run an action on the stream before reading the sink.
-    The page audit is NOT part of this stream — use :func:`audit_pages`."""
+    The page audit is NOT part of this stream — use :func:`audit_pages`.
+    Pass a Spark accumulator as ``side_count_acc`` to census side rows
+    written (feeds the empty-sink guard in :func:`read_side_rows`).
+
+    ``native_hot`` (default on) emits the high-volume structured edition
+    fields as pure Catalyst variant expressions (olkg.nativex) and tells
+    the Python UDF to skip them per conforming record — the hybrid union
+    is triple-identical to the all-Python path (tests/test_nativex.py)
+    while moving the bulk of edition field emission out of Python.  The
+    two branches share one scan/exchange (ReusedExchange); hot fields
+    never produce collision-class or blocking-key predicates, so the
+    side-sink routing and the disjoint-dedup decomposition are unaffected."""
     src = pages
     if repartition_by_url:
         src = src.repartition(repartition_by_url, F.xxhash64("url"))
-    return pages_to_lines(src).mapInPandas(_make_sink_batches(side_sink),
-                                           schema=TRIPLES_SCHEMA)
+    lines = pages_to_lines(src)
+    if not native_hot:
+        return lines.mapInPandas(
+            _make_sink_batches(side_sink, side_count_acc),
+            schema=TRIPLES_SCHEMA)
+    from .nativex import edition_hot_triples, hot_ok_col
+
+    flagged = lines.withColumn("hot_ok", hot_ok_col(F.col("line")))
+    py_stream = flagged.mapInPandas(
+        _make_sink_batches(side_sink, side_count_acc), schema=TRIPLES_SCHEMA)
+    return py_stream.unionByName(edition_hot_triples(lines))
 
 
-def read_side_rows(spark, side_sink: str) -> DataFrame:
+def read_side_rows(spark, side_sink: str,
+                   expected_rows: int | None = None) -> DataFrame:
     """Read the side sink written by :func:`extract_triples_with_side_sink`
-    (EXTRACT_SCHEMA-shaped; empty DataFrame if the sink has no files)."""
-    if os.path.isdir(side_sink) and any(
-            f.endswith(".parquet") for f in os.listdir(side_sink)):
-        return spark.read.schema(EXTRACT_SCHEMA).parquet(side_sink)
-    return spark.createDataFrame([], EXTRACT_SCHEMA)
+    (EXTRACT_SCHEMA-shaped; empty DataFrame if the sink has no files).
+
+    Existence checks go through Spark's Hadoop FileSystem (scheme-aware),
+    so URI sinks work wherever Spark itself can read them.  When
+    ``expected_rows`` (the side-row accumulator's value) is positive but
+    the driver sees NO sink files, this raises instead of silently
+    returning empty — the signature of executors writing to storage the
+    driver cannot see (e.g. executor-local disks on a multi-node cluster
+    with a local-path sink), which would otherwise silently drop all
+    join-born edges, block_ids and the canonical map."""
+    from . import fsio
+
+    names = fsio.listdir(spark, side_sink)
+    has_files = any(n.endswith(".parquet") for n in names)
+    if not has_files:
+        if expected_rows:
+            raise RuntimeError(
+                f"side sink {side_sink!r} is empty but executors reported "
+                f"writing {expected_rows} side rows — the sink is not on "
+                "storage shared between executors and driver. Point "
+                "--out/side_sink at shared storage (HDFS/S3/NFS) for "
+                "multi-node runs.")
+        return spark.createDataFrame([], EXTRACT_SCHEMA)
+    return spark.read.schema(EXTRACT_SCHEMA).parquet(side_sink)

@@ -14,22 +14,27 @@ olkg.util.det_bnode).
 
 from __future__ import annotations
 
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fsio
 from . import vocab as V
+from .fsio import pjoin
 from .schema import LINEAGE_SCHEMA
 
 
 def _stage_path(out_dir: str, stage: str) -> str:
-    return os.path.join(out_dir, stage)
+    return pjoin(out_dir, stage)
 
 
 def stage_complete(out_dir: str, stage: str) -> bool:
-    return os.path.exists(os.path.join(_stage_path(out_dir, stage), "_SUCCESS"))
+    """Checked through the Hadoop FS of the ACTIVE session, so resume
+    markers work on any storage Spark can reach (file/hdfs/s3a), not only
+    the driver's local filesystem."""
+    spark = SparkSession.getActiveSession()
+    return fsio.exists(spark, pjoin(_stage_path(out_dir, stage), "_SUCCESS"))
 
 
 def write_stage(df: DataFrame, out_dir: str, stage: str,
@@ -76,12 +81,12 @@ def append_lineage(spark: SparkSession, out_dir: str, run_id: str, stage: str,
                         F.col("rows_out").cast("long"),
                         F.lit(wall_ms).cast("long").alias("wall_ms"),
                         F.lit(None).cast("string").alias("detail")))
-    per_part.write.mode("append").parquet(os.path.join(out_dir, "lineage"))
+    per_part.write.mode("append").parquet(pjoin(out_dir, "lineage"))
 
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
-    path = os.path.join(out_dir, "lineage")
-    if not os.path.exists(path):
+    path = pjoin(out_dir, "lineage")
+    if not fsio.exists(spark, path):
         return spark.createDataFrame([], LINEAGE_SCHEMA)
     return spark.read.parquet(path)
 
@@ -145,8 +150,9 @@ def export_ntriples_gz(edges: DataFrame, path: str,
     if dated_single_file:
         if date is None:
             date = time.strftime("%Y-%m-%d")
-        part = [f for f in os.listdir(path)
+        spark = SparkSession.getActiveSession()
+        part = [f for f in fsio.listdir(spark, path)
                 if f.startswith("part-") and f.endswith(".gz")]
         if part:
-            os.rename(os.path.join(path, part[0]),
-                      os.path.join(path, f"openlibrary-{date}.nt.gz"))
+            fsio.rename(spark, pjoin(path, part[0]),
+                        pjoin(path, f"openlibrary-{date}.nt.gz"))

@@ -15,15 +15,16 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fsio
 from .canonicalize import canonical_map, dedup_edges, sameas_edges_from_map
 from .extract import extract_pages
+from .fsio import pjoin
 from .link import link_stage
 from .materialize import (append_lineage, build_nodes, export_ntriples_gz,
                           read_stage, stage_complete, write_stage)
@@ -38,7 +39,7 @@ def run_pipeline(spark: SparkSession, pages_path: str, out_dir: str,
                  with_canonical_map: bool = True,
                  export_nt: bool = True) -> dict:
     """Returns a metrics dict (stage wall times, row counts, triples/sec)."""
-    os.makedirs(out_dir, exist_ok=True)
+    fsio.mkdirs(spark, out_dir)
     run_id = uuid.uuid4().hex[:12]
     metrics: dict = {"run_id": run_id, "stages": {}}
     t_total = time.time()
@@ -98,8 +99,7 @@ def run_pipeline(spark: SparkSession, pages_path: str, out_dir: str,
         # (distributed storage on a cluster), so an executor/driver loss
         # resumes instead of recomputing the loop
         cmap = canonical_map(edges, names,
-                             reliable_dir=os.path.join(out_dir,
-                                                       "_cc_checkpoints"))
+                             reliable_dir=pjoin(out_dir, "_cc_checkpoints"))
         write_stage(cmap, out_dir, "canonical_map")
         append_lineage(spark, out_dir, run_id, "canonical_map",
                        read_stage(spark, out_dir, "canonical_map"),
@@ -114,7 +114,7 @@ def run_pipeline(spark: SparkSession, pages_path: str, out_dir: str,
         nodes = build_nodes(edges)
         write_stage(nodes, out_dir, "nodes")
         if export_nt:
-            export_ntriples_gz(edges, os.path.join(out_dir, "export_nt"))
+            export_ntriples_gz(edges, pjoin(out_dir, "export_nt"))
         wall = int((time.time() - t0) * 1000)
         append_lineage(spark, out_dir, run_id, "nodes",
                        read_stage(spark, out_dir, "nodes"), wall)
@@ -133,6 +133,29 @@ def run_pipeline(spark: SparkSession, pages_path: str, out_dir: str,
     metrics["pages"] = audit["pages"]
     metrics["text_mismatches"] = audit["mismatches"] or 0
     return metrics
+
+
+def dedup_pages_df(pages: DataFrame) -> DataFrame:
+    """Exact page dedup, one survivor per distinct content.
+
+    Keyed on the content digest itself — NOT a url round-trip, which loses
+    content when one url carries two distinct texts (min(url) can elect the
+    same url for two digests; a url-keyed dropDuplicates then discards one
+    of them nondeterministically).  Null text falls back to md5(html), then
+    to a per-url sentinel so null pages never collapse together.  Keeper
+    election shuffles only (digest, url); the semi-join keeps exactly the
+    keeper rows, and the final (digest, url) dropDuplicates collapses
+    identical-content recrawls of the keeper url while reusing the join's
+    partitioning (no extra exchange)."""
+    digest = F.coalesce(F.md5("text"),
+                        F.md5("html") if "html" in pages.columns else F.lit(None),
+                        F.concat(F.lit("null:"), F.col("url")))
+    hashed = pages.withColumn("_d", digest)
+    keep = (hashed.select("_d", "url")
+            .groupBy("_d").agg(F.min("url").alias("url")))
+    return (hashed.join(keep, ["_d", "url"], "left_semi")
+            .dropDuplicates(["_d", "url"])
+            .drop("_d"))
 
 
 def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
@@ -166,43 +189,34 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
     so duplicate pages never pay the Python extraction cost.  Output triples
     are unchanged whenever duplicate pages carry identical text (same
     (s,p,o) net effect); page/audit counts then refer to distinct pages."""
-    import shutil as _shutil
-
     from pyspark.sql import Observation
 
     from .extract import (audit_pages, extract_triples_with_side_sink,
                           read_side_rows)
     from .link import join_born_triples
 
-    os.makedirs(out_dir, exist_ok=True)
+    fsio.mkdirs(spark, out_dir)
     run_id = uuid.uuid4().hex[:12]
     metrics: dict = {"run_id": run_id, "stages": {}, "mode": "fast"}
     t_total = time.time()
 
     pages = spark.read.parquet(pages_path)
     if dedup_pages:
-        # hash-partitioned first-writer-wins on the text digest: the shuffle
-        # carries (url, digest) only; surviving urls join back broadcast-free
-        # on the same key
-        keep = (pages.select("url", F.md5("text").alias("_d"))
-                .groupBy("_d").agg(F.min("url").alias("url"))
-                .select("url"))
-        # semi-join keeps one url per distinct content; same-url recrawls of
-        # identical content then collapse to one row per url
-        pages = (pages.join(keep, "url", "left_semi")
-                 .dropDuplicates(["url"]))
+        pages = dedup_pages_df(pages)
 
-    sides_sink = os.path.join(out_dir, "sides")
-    _shutil.rmtree(sides_sink, ignore_errors=True)
-    _shutil.rmtree(os.path.join(out_dir, "edges"), ignore_errors=True)
+    sides_sink = pjoin(out_dir, "sides")
+    fsio.delete(spark, sides_sink)
+    fsio.delete(spark, pjoin(out_dir, "edges"))
 
     # -- job 1: extract (once) → dedup direct triples → edges/d=0 ------------
     # edges is a two-partition table (d=0 direct, d=1 join-born): the link
     # stage appends d=1 WITHOUT touching d=0, so entity resolution (which
     # only ever reads blocking-key predicates — all direct) runs concurrently
     t0 = time.time()
+    side_acc = spark.sparkContext.accumulator(0)
     stream = extract_triples_with_side_sink(
-        pages, sides_sink, repartition_by_url=repartition_by_url)
+        pages, sides_sink, repartition_by_url=repartition_by_url,
+        side_count_acc=side_acc)
     obs_direct = Observation("direct_edges")
     direct_edges = dedup_edges(stream, strategy=dedup_strategy,
                                num_partitions=dedup_partitions).observe(
@@ -212,7 +226,10 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
     metrics["stages"]["extract_dedup_direct"] = {
         "wall_ms": int((time.time() - t0) * 1000), "rows": n_direct}
 
-    sides = read_side_rows(spark, sides_sink)
+    # fail loudly if executors wrote side rows the driver cannot see
+    # (non-shared sink storage) instead of silently emitting no join-born
+    # edges / block_ids / canonical map
+    sides = read_side_rows(spark, sides_sink, expected_rows=side_acc.value)
 
     # -- tail: link(+nodes) ∥ canonical_map ∥ audit ---------------------------
     # all three chains read only already-materialized inputs (the sink, the
@@ -279,7 +296,7 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
     if errs:
         raise errs[0]
     # parent-level completion marker for readers of <out>/edges
-    open(os.path.join(out_dir, "edges", "_SUCCESS"), "w").close()
+    fsio.touch(spark, pjoin(out_dir, "edges", "_SUCCESS"))
     n_join = results["n_join"]
     metrics["stages"]["link_dedup"] = {"wall_ms": results["link_ms"],
                                        "rows": n_join}

@@ -57,9 +57,15 @@ def build_session(
     # whose aggregate bandwidth scales with the node count; this sandbox has
     # ONE shared disk, which would serialize every run's shuffle I/O behind a
     # fixed device.  tmpfs (RAM-backed) models the per-node-scaling scratch
-    # correctly here.  Overridable/disable with OLKG_LOCAL_DIR.
+    # in the sandbox — but RAM-backed shuffle competes with heap/page cache
+    # and can ENOSPC/OOM a big corpus run, so it is OPT-IN
+    # (OLKG_TMPFS_SCRATCH=1, used by the bench harnesses), not the default
+    # for every consumer of build_session.  OLKG_LOCAL_DIR overrides either
+    # way.
     local_dir = os.environ.get("OLKG_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
+    if (local_dir is None
+            and os.environ.get("OLKG_TMPFS_SCRATCH") == "1"
+            and os.path.isdir("/dev/shm")):
         local_dir = "/dev/shm/olkg-spark-local"
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

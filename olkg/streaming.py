@@ -43,8 +43,15 @@ def stream_extract(spark: SparkSession, input_dir: str, out_dir: str,
              .parquet(input_dir))
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent per-batch sink: each micro-batch overwrites its OWN
+        # batch_id-derived subdirectory, so a crash between a (partial)
+        # write and the checkpoint commit re-runs the batch into the same
+        # path instead of appending duplicates — exactly-once OUTPUT, not
+        # just exactly-once processing.  Readers see the union via normal
+        # partition discovery on `dest`.
         (extract_pages(batch_df)
-         .write.mode("append").parquet(dest))
+         .write.mode("overwrite")
+         .parquet(os.path.join(dest, f"batch_id={batch_id}")))
 
     writer = (pages.writeStream
               .foreachBatch(_process)
@@ -107,15 +114,30 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
         cur = list(state.get) if state.exists else None
         closed = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts")
-            for ts, val in zip(pdf["ts"], pdf["value"]):
-                if cur is None:
-                    cur = [ts, ts, 0, 0.0]
-                elif (ts - cur[1]).total_seconds() * 1000 > gap_ms:
-                    closed.append((user_id, *cur))
-                    cur = [ts, ts, 0, 0.0]
-                cur[1] = ts
+        # One global sort over the whole micro-batch: pdf_iter may deliver
+        # several Arrow chunks, and sorting each independently would process
+        # events out of time order (diverging from the batch twin,
+        # textops.sessionize_events, which sorts globally).
+        chunks = list(pdf_iter)
+        batch = (pd.concat(chunks, ignore_index=True).sort_values("ts")
+                 if chunks else pd.DataFrame(columns=["ts", "value"]))
+        for ts, val in zip(batch["ts"], batch["value"]):
+            if cur is None:
+                cur = [ts, ts, 1, float(val)]
+            elif (ts - cur[1]).total_seconds() * 1000 > gap_ms:
+                # gap after the open session: close it, start a new one
+                closed.append((user_id, *cur))
+                cur = [ts, ts, 1, float(val)]
+            elif (cur[0] - ts).total_seconds() * 1000 > gap_ms:
+                # late event wholly BEFORE the open session (gap on the
+                # other side): it forms its own earlier session — emit it
+                # closed without touching the open one
+                closed.append((user_id, ts, ts, 1, float(val)))
+            else:
+                # in-gap event (possibly late/out-of-order across batches):
+                # merge without ever regressing the session bounds
+                cur[0] = min(cur[0], ts)
+                cur[1] = max(cur[1], ts)
                 cur[2] += 1
                 cur[3] += float(val)
         if cur is not None:

@@ -37,11 +37,30 @@ def exact_dup_groups(documents: DataFrame) -> DataFrame:
             .filter(F.col("dup_count") > 1))
 
 
-def dedup_exact(documents: DataFrame) -> DataFrame:
-    """Keep one row per distinct text (min doc_id wins)."""
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    return (documents.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+def dedup_exact(documents: DataFrame,
+                broadcast_drops: bool = False) -> DataFrame:
+    """Keep one row per distinct text (min doc_id wins).
+
+    Scale shape: duplicate-victim ids ("drops") are elected on a NARROW
+    (digest, doc_id) projection — the election shuffle carries 32B + 8B
+    per row, never the document text — and the full rows are then filtered
+    with a LEFT ANTI join on doc_id.  Why anti-join-the-drops rather than
+    semi-join-the-keepers: at a typical web dedup rate the drop list is a
+    small fraction of the corpus (keepers are ~all of it), so it is the
+    side that can broadcast.  ``broadcast_drops=True`` forces the hint
+    (documents then never shuffle at all); the default leaves it to AQE's
+    runtime SMJ→BHJ conversion, which at worst shuffles documents ONCE on
+    the uniformly-distributed doc_id — never on the digest, whose hot keys
+    (empty/boilerplate texts) would skew a partitionBy(md5(text)) window.
+    """
+    narrow = documents.select(F.md5("text").alias("_h"), "doc_id")
+    keep = F.min("doc_id").over(Window.partitionBy("_h"))
+    drops = (narrow.withColumn("_keep", keep)
+             .filter(F.col("doc_id") != F.col("_keep"))
+             .select("doc_id"))
+    if broadcast_drops:
+        drops = F.broadcast(drops)
+    return documents.join(drops, on="doc_id", how="left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,9 @@ def run_at(cores: int, pages_path: str) -> dict:
     # keeps memory out of the compared variables
     env = dict(os.environ,
                OLKG_DRIVER_MEM="16g",
+               # tmpfs scratch is opt-in (see session.py); the bench opts in
+               # to model per-node-scaling shuffle I/O on the one shared disk
+               OLKG_TMPFS_SCRATCH="1",
                PYTHONPATH=REPO)
     cmd = [sys.executable, "-m", "olkg.pipeline",
            "--pages", pages_path,

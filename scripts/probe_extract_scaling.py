@@ -41,6 +41,7 @@ def main():
     from olkg.session import build_session
 
     os.environ.setdefault("OLKG_DRIVER_MEM", "16g")
+    os.environ.setdefault("OLKG_TMPFS_SCRATCH", "1")
     sp = args.shuffle_partitions or args.cores * 2
     spark = build_session(app_name=f"probe{args.cores}",
                           master=f"local[{args.cores}]",

@@ -301,3 +301,22 @@ def test_fast_pipeline_prepartition_dedup(spark, corpus, tmp_path_factory):
     p, r = precision_recall(result, golden)
     assert p == 1.0 and r == 1.0
     assert metrics["triples"] == len(golden)
+
+
+def test_dedup_pages_preserves_distinct_content_per_url(spark):
+    """One url carrying two DIFFERENT texts must keep both contents (the
+    url-round-trip design lost one of them); null-text pages never collapse
+    together; identical-content recrawls collapse to one row."""
+    from olkg.pipeline import dedup_pages_df
+    rows = [
+        ("http://a", "contentX"),   # url a, content X
+        ("http://a", "contentY"),   # SAME url, different content
+        ("http://b", "contentX"),   # dup of X under another url → dropped
+        ("http://c", None),         # null text
+        ("http://d", None),         # null text, distinct url → kept too
+        ("http://d", None),         # exact recrawl of the null page → 1 row
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    got = [(r.url, r.text) for r in dedup_pages_df(pages).collect()]
+    assert sorted(got) == [("http://a", "contentX"), ("http://a", "contentY"),
+                           ("http://c", None), ("http://d", None)]

@@ -103,3 +103,25 @@ def test_salted_join_no_broadcast_of_big_sides(spark):
     plan = plan_of(salted_join_author_names(refs, names, hot_threshold=10,
                                             num_salts=4), mode="simple")
     assert "BroadcastHashJoin" in plan, plan  # the census join
+
+
+def test_dedup_exact_never_shuffles_text(spark):
+    """dedup_exact's election shuffle must carry only (digest, doc_id);
+    with broadcast_drops the documents side never enters ANY exchange —
+    no Exchange node in the whole plan may list the text column."""
+    from olkg.textops import dedup_exact
+    docs = spark.createDataFrame(
+        [(i, "dup" if i % 2 else f"uniq {i}") for i in range(10)],
+        ["doc_id", "text"])
+    plan = plan_of(dedup_exact(docs, broadcast_drops=True), mode="formatted")
+    lines = plan.splitlines()
+    offending = []
+    for i, ln in enumerate(lines):
+        if ") Exchange" in ln:
+            for follow in lines[i + 1:i + 6]:
+                if follow.startswith("Input") and "text#" in follow:
+                    offending.append((ln, follow))
+    assert not offending, offending
+    # sanity: the result is still correct
+    kept = sorted(r.doc_id for r in dedup_exact(docs).collect())
+    assert kept == [0, 1, 2, 4, 6, 8]

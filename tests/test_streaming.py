@@ -23,8 +23,10 @@ def test_stream_extract_matches_batch(spark, tmp_path):
     q = stream_extract(spark, in_dir, out_dir)
     q.awaitTermination(120)
 
-    got = spark.read.parquet(os.path.join(out_dir, "extract_stream"))
     want = extract_pages(pages)
+    # the idempotent sink partitions by batch_id; project it away to compare
+    got = spark.read.parquet(os.path.join(out_dir, "extract_stream")) \
+        .select(*want.columns)
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w and len(g) > 0
@@ -117,3 +119,89 @@ def test_stream_sessionize(spark, tmp_path):
             for r in spark.read.parquet(out).collect()}
     assert (1, t0 + dt.timedelta(minutes=60),
             t0 + dt.timedelta(minutes=60), 1) in got2
+
+
+def _run_sessionize(spark, in_dir, out, ck, gap_minutes=30):
+    from olkg.streaming import stream_sessionize
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, value double")
+              .parquet(str(in_dir) + "/*"))
+    q = (stream_sessionize(stream, gap_minutes=gap_minutes)
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", ck)
+         .format("parquet").option("path", out)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def test_stream_sessionize_late_event_merges_without_regression(spark, tmp_path):
+    """A late-but-within-watermark event for an already-OPEN session arriving
+    in a LATER batch merges into it (n_events grows) and never moves
+    session_end backwards — matching the batch twin's global time order."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    in_dir = tmp_path / "late_in"
+    in_dir.mkdir()
+    out, ck = str(tmp_path / "late_out"), str(tmp_path / "late_ck")
+
+    def write(name, rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).write.parquet(str(in_dir / name))
+
+    # batch A: open session [t0, t0+10] for user 1
+    write("a.parquet", [(1, t0, 1.0),
+                        (1, t0 + dt.timedelta(minutes=10), 2.0)])
+    _run_sessionize(spark, in_dir, out, ck)
+    # batch B: ts=t0+5 is EARLIER than the open session's end (within the
+    # 30-min watermark) — must merge, not regress session_end or split
+    write("b.parquet", [(1, t0 + dt.timedelta(minutes=5), 4.0)])
+    _run_sessionize(spark, in_dir, out, ck)
+    # batch C: t0+60 gaps out the open session → it closes with ALL 3 events
+    write("c.parquet", [(1, t0 + dt.timedelta(minutes=60), 8.0)])
+    _run_sessionize(spark, in_dir, out, ck)
+
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+           for r in spark.read.parquet(out).collect()}
+    assert (1, t0, t0 + dt.timedelta(minutes=10), 3, 7.0) in got, got
+
+
+def test_stream_sessionize_event_after_timeout_starts_new_session(spark, tmp_path):
+    """Once the event-time timeout closed a session (watermark passed
+    session_end + gap), a later event for that user starts a NEW session —
+    it never resurrects the emitted one."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    in_dir = tmp_path / "to_in"
+    in_dir.mkdir()
+    out, ck = str(tmp_path / "to_out"), str(tmp_path / "to_ck")
+
+    def write(name, rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).write.parquet(str(in_dir / name))
+
+    # batch A: user 1 opens [t0, t0]
+    write("a.parquet", [(1, t0, 1.0)])
+    _run_sessionize(spark, in_dir, out, ck)
+    # batch B: user 2's far-future event advances the watermark past
+    # t0 + gap → user 1's timeout FIRES and emits [t0, t0]
+    write("b.parquet", [(2, t0 + dt.timedelta(minutes=120), 2.0)])
+    _run_sessionize(spark, in_dir, out, ck)
+    fired = {(r.user_id, r.session_start, r.session_end, r.n_events)
+             for r in spark.read.parquet(out).collect()}
+    assert (1, t0, t0, 1) in fired, fired
+
+    # batch C: a new user-1 event (at/above the watermark) → fresh session,
+    # closed by batch D's gap; the emitted pair must be two DISTINCT sessions
+    t_new = t0 + dt.timedelta(minutes=130)
+    write("c.parquet", [(1, t_new, 4.0)])
+    _run_sessionize(spark, in_dir, out, ck)
+    write("d.parquet", [(1, t_new + dt.timedelta(minutes=60), 8.0)])
+    _run_sessionize(spark, in_dir, out, ck)
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in spark.read.parquet(out).collect()}
+    assert (1, t0, t0, 1) in got, got
+    assert (1, t_new, t_new, 1) in got, got
