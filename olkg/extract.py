@@ -268,7 +268,7 @@ def _make_sink_batches(side_sink: str, side_count_acc=None):
 def extract_triples_with_side_sink(pages: DataFrame, side_sink: str,
                                    repartition_by_url: int | None = None,
                                    side_count_acc=None,
-                                   native_hot: bool = True) -> DataFrame:
+                                   native_hot: bool = False) -> DataFrame:
     """Single-pass extraction: returns the (non-collision) triple stream;
     side rows land in ``side_sink`` when the returned stream is executed.
     The caller MUST run an action on the stream before reading the sink.
@@ -276,14 +276,14 @@ def extract_triples_with_side_sink(pages: DataFrame, side_sink: str,
     Pass a Spark accumulator as ``side_count_acc`` to census side rows
     written (feeds the empty-sink guard in :func:`read_side_rows`).
 
-    ``native_hot`` (default on) emits the high-volume structured edition
+    ``native_hot`` (default OFF — measured slower, see olkg.nativex's
+    module docstring for the A/B) emits the high-volume structured edition
     fields as pure Catalyst variant expressions (olkg.nativex) and tells
     the Python UDF to skip them per conforming record — the hybrid union
-    is triple-identical to the all-Python path (tests/test_nativex.py)
-    while moving the bulk of edition field emission out of Python.  The
-    two branches share one scan/exchange (ReusedExchange); hot fields
-    never produce collision-class or blocking-key predicates, so the
-    side-sink routing and the disjoint-dedup decomposition are unaffected."""
+    is triple-identical to the all-Python path (tests/test_nativex.py).
+    Hot fields never produce collision-class or blocking-key predicates,
+    so the side-sink routing and the disjoint-dedup decomposition are
+    unaffected either way."""
     src = pages
     if repartition_by_url:
         src = src.repartition(repartition_by_url, F.xxhash64("url"))

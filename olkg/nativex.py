@@ -1,14 +1,31 @@
 """Catalyst-native extraction of the HOT structured edition fields.
 
-The extract stage's ceiling is per-record Python (olkg.triples) — correct,
-spec-tested, but Python.  The high-volume edition fields have *almost*
-columnar semantics: the generic 16-field literal map (lib/edition.rb:9-26,
-165-172), languages (:38-49), title/title_prefix/subtitle (:224-239),
-publish_country (:260-266) and covers (:368-375).  This module re-expresses
-those field emitters as pure Catalyst expressions over Spark's VariantType
+STATUS: correct, fully tested, and OFF BY DEFAULT — measured SLOWER than
+the Python path it offloads (see the A/B below).  Kept as the working
+implementation of the "offload hot fields to Catalyst" design so the
+trade-off is reproducible, and because a future Spark whose higher-order
+functions and variant expressions participate in whole-stage codegen would
+flip the result.
+
+Measured A/B (600k pages, local[8], extract→dedup→sink job, identical
+14,308,091-row output): all-Python 40.3 s; hybrid (this module + skip_hot
+Python) 263 s naive, ~80 s with the variant materialized behind a barrier.
+Decomposition: the per-row floor (scan + native html→text inversion) is
+~8-12 s and is paid ONCE by the Python branch but TWICE by the hybrid (the
+native branch is a second scan leg); the conformance gate + per-element
+emission evaluate interpreted (higher-order functions and variant
+expressions are CodegenFallback in Spark 4.1), costing ~500 µs/row against
+orjson's ~130 µs/record for the ENTIRE Python extraction; and skip_hot
+only saves 19 % of the Python time (hot fields are ~24 % of emitted
+triples) — so the hybrid adds a ~30 s branch to save ~6 s.
+
+The high-volume edition fields have *almost* columnar semantics: the
+generic 16-field literal map (lib/edition.rb:9-26, 165-172), languages
+(:38-49), title/title_prefix/subtitle (:224-239), publish_country
+(:260-266) and covers (:368-375).  This module re-expresses those field
+emitters as pure Catalyst expressions over Spark's VariantType
 (``try_parse_json`` + ``try_variant_get`` + ``schema_of_variant``), which
-gives the JVM the same per-value duck-type dispatch the Ruby code does —
-whole-stage-codegen'd, no Python, no Arrow crossing.
+gives the JVM the same per-value duck-type dispatch the Ruby code does.
 
 Correctness contract: a record is handled natively ONLY when
 :func:`edition_hot_ok` proves every hot field's value shape is one whose
@@ -299,17 +316,27 @@ def hot_ok_col(line) -> F.Column:
 
 def edition_hot_triples(lines: DataFrame, line_col: str = "line") -> DataFrame:
     """(subj, pred, obj, obj_kind, obj_datatype) for the hot fields of all
-    conforming edition records in ``lines`` — pure Catalyst, no Python."""
+    conforming edition records in ``lines`` — pure Catalyst, no Python.
+
+    The parsed variant is materialized behind a nondeterministic barrier
+    (the ``rand() >= -1`` guard) so neither CollapseProject nor
+    PushDownPredicate inlines ``try_parse_json`` into the gate and the
+    Generate node, which would re-parse the JSON once per expression
+    reference (measured 201 s → 53 s on the 600k-page probe)."""
     line = F.col(line_col)
-    v = line_variant(line)
+    barrier_v = F.when(F.rand() >= F.lit(-1.0), line_variant(line))
+    mid = (lines
+           .filter(line_is_edition(line))
+           .select(barrier_v.alias("v")))
+    v = F.col("v")
     subj = F.concat(F.lit(V.URI_PREFIX), _vstr(v, "$.key"))
     all_structs = F.concat(
         _title_structs(v), _subtitle_structs(v), _languages_structs(v),
         _publish_country_structs(v), _covers_structs(v),
         *[_generic_structs(v, fld, pred)
           for fld, pred in sorted(_NATIVE_GENERIC.items())])
-    return (lines
-            .filter(hot_ok_col(line))
+    return (mid
+            .filter(edition_hot_ok(v))
             .select(subj.alias("subj"), F.explode(all_structs).alias("t"))
             .select("subj", "t.pred", "t.obj", "t.obj_kind", "t.obj_datatype")
             .select([F.col(c).cast("string").alias(c)

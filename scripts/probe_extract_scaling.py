@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--udf-only", action="store_true",
                     help="count(1) over the UDF stream, no shuffle/write")
     ap.add_argument("--prepart-dedup", action="store_true")
+    ap.add_argument("--native", action="store_true",
+                    help="enable the (measured-slower) Catalyst-native "
+                         "hot-field emission for A/B runs")
     ap.add_argument("--shm-out", action="store_true")
     ap.add_argument("--repartition", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -59,7 +62,8 @@ def main():
     else:
         stream = extract_triples_with_side_sink(
             pages, os.path.join(out, "sides"),
-            repartition_by_url=args.repartition)
+            repartition_by_url=args.repartition,
+            native_hot=args.native)
     if args.udf_only:
         n = stream.count()
     else:
