@@ -219,6 +219,26 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, cents, query_ids=list(range(10)), k=5, nprobe=4)
 
 
+def q_ann_ivf_materialized(spark, sf_dir):
+    """IVF top-k via the CELL-PARTITIONED materialized layout
+    (olkg.simsearch.ivf_materialize): the corpus is written partitioned by
+    its IVF cell, and the probe read prunes to the probed cells' partition
+    directories (the at-scale I/O shape).  Results are identical to the
+    in-memory ivf_topk on the same committed codebook, so it shares that
+    query's oracle SQL."""
+    import tempfile
+    from olkg.simsearch import ivf_materialize, ivf_topk_materialized
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = emb.withColumn("embedding",
+                         F.transform("embedding", lambda x: x.cast("double")))
+    cents = spark.read.parquet(CENTROIDS)
+    path = os.path.join(tempfile.gettempdir(),
+                        "olkg_ivf_corpus_" + os.path.basename(sf_dir))
+    ivf_materialize(emb, cents, path)
+    return ivf_topk_materialized(spark, path, cents,
+                                 query_ids=list(range(10)), k=5, nprobe=4)
+
+
 def q_doc_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup: LSH-bucket candidates (committed shared
     hyperplane table → identical buckets in both engines) verified with the
@@ -306,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_materialized": q_ann_ivf_materialized,
         "doc_embedding_neardup": q_doc_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
@@ -326,7 +347,7 @@ _BIBO = "http://purl.org/ontology/bibo/"
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "kg_edges":
             f"SELECT subj, pred, obj, obj_kind, obj_datatype FROM {_G}",
         "kg_pred_counts":
@@ -568,3 +589,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
     }
+    # the materialized-layout IVF provably returns the in-memory ivf_topk
+    # result (tests/test_entry_oracle.py) — same oracle applies
+    sql["ann_ivf_materialized"] = sql["ann_ivf_topk"]
+    return sql

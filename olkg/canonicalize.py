@@ -33,8 +33,28 @@ from . import vocab as V
 _EDGE_COLS = ["subj", "pred", "obj", "obj_kind", "obj_datatype"]
 
 
+# Measured on this host (BENCH/BASELINE.md): map-side partial aggregation
+# beats prepartition below ~1-2M mostly-unique rows per map task and loses
+# 3x above it.  'auto' flips at the midpoint and sizes reduce partitions to
+# ~1M rows each.
+AUTO_PREPARTITION_ROWS_PER_TASK = 1_500_000
+AUTO_TARGET_ROWS_PER_PARTITION = 1_000_000
+
+
+def plan_dedup(total_rows: int, rows_per_task: float) -> tuple[str, int | None]:
+    """Pure sizing rule for :func:`dedup_edges` strategy='auto': returns
+    (strategy, num_partitions).  Separated from the Spark sampler so the
+    decision boundary is unit-testable with arbitrary scales."""
+    if rows_per_task > AUTO_PREPARTITION_ROWS_PER_TASK:
+        n = max(1, round(total_rows / AUTO_TARGET_ROWS_PER_PARTITION))
+        return "prepartition", n
+    return "partial", None
+
+
 def dedup_edges(triples: DataFrame, strategy: str = "partial",
-                num_partitions: int | None = None) -> DataFrame:
+                num_partitions: int | None = None,
+                est_total_rows: int | None = None,
+                est_rows_per_task: float | None = None) -> DataFrame:
     """A4: distinct (subj, pred, obj, obj_kind, obj_datatype).
 
     strategy='partial' (default): plain dropDuplicates — hash aggregate with
@@ -47,8 +67,19 @@ def dedup_edges(triples: DataFrame, strategy: str = "partial",
     aggregation then reduces nothing while building (and spilling) a giant
     per-task hash map.  Measured on 2.4M pages / 57M rows at 8 cores:
     300 s (partial) → 111 s (prepartition, ≈ the no-dedup write cost).
-    Use for corpora beyond ~1-2M rows per map task; size ``num_partitions``
-    to ~1M rows each."""
+
+    strategy='auto': pick by data size via :func:`plan_dedup` from the
+    caller-supplied estimates (``est_total_rows``, ``est_rows_per_task`` —
+    see olkg.pipeline.estimate_extract_size for the cheap sampler).  With
+    no estimates, 'auto' degrades to 'partial' (the small-corpus default)."""
+    if strategy == "auto":
+        if est_rows_per_task is not None:
+            strategy, auto_n = plan_dedup(est_total_rows or 0,
+                                          est_rows_per_task)
+            if num_partitions is None:
+                num_partitions = auto_n
+        else:
+            strategy = "partial"
     if strategy == "prepartition":
         pre = (triples.repartition(num_partitions, *_EDGE_COLS)
                if num_partitions else triples.repartition(*_EDGE_COLS))

@@ -135,6 +135,58 @@ def run_pipeline(spark: SparkSession, pages_path: str, out_dir: str,
     return metrics
 
 
+def _parse_size_bytes(s: str) -> int:
+    """Spark size-string → bytes ('16m', '128MB', '134217728', '1g')."""
+    import re as _re
+    m = _re.match(r"^\s*(\d+)\s*([kmgt]?)b?\s*$", s.lower())
+    if not m:
+        raise ValueError(f"unparseable size: {s!r}")
+    return int(m.group(1)) * {"": 1, "k": 2**10, "m": 2**20,
+                              "g": 2**30, "t": 2**40}[m.group(2)]
+
+
+def estimate_extract_size(spark: SparkSession, pages_path: str,
+                          sample_pages: int = 256,
+                          repartition_by_url: int | None = None
+                          ) -> tuple[int, float]:
+    """(est_total_triples, est_rows_per_map_task) for the extract stream —
+    the inputs dedup_edges(strategy='auto') sizes itself from.
+
+    Cost: one metadata-only parquet count, one Hadoop-FS content summary,
+    and ~``sample_pages`` rows extracted DRIVER-side through the pure-Python
+    semantics (~milliseconds) to estimate triples/page.  Map-task count is
+    input_bytes / spark.sql.files.maxPartitionBytes — unless the stream is
+    explicitly repartitioned (``repartition_by_url``), which then fixes the
+    task count."""
+    from .pagesgen import html_to_text
+    from .triples import extract_line
+
+    pages = spark.read.parquet(pages_path)
+    n_pages = pages.count()
+    if n_pages == 0:
+        return 0, 0.0
+    cols = [c for c in ("html", "text") if c in pages.columns]
+    sample = pages.select(*cols).limit(min(sample_pages, n_pages)).collect()
+    tri = 0
+    for r in sample:
+        html = r["html"] if "html" in cols else None
+        recovered = html_to_text(bytes(html)) if html is not None else None
+        line = recovered if recovered is not None else (
+            r["text"] if "text" in cols else None)
+        res = extract_line(line) if line else None
+        tri += len(res.triples) if res else 0
+    est_total = int(n_pages * (tri / len(sample)))
+    if repartition_by_url:
+        n_tasks = repartition_by_url
+    else:
+        fs, p = fsio._hadoop_fs(spark, pages_path)
+        total_bytes = fs.getContentSummary(p).getLength()
+        maxpb = _parse_size_bytes(spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"))
+        n_tasks = max(1, -(-total_bytes // maxpb))
+    return est_total, est_total / n_tasks
+
+
 def dedup_pages_df(pages: DataFrame) -> DataFrame:
     """Exact page dedup, one survivor per distinct content.
 
@@ -165,7 +217,7 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
                       repartition_by_url: int | None = None,
                       with_canonical_map: bool = True,
                       dedup_pages: bool = False,
-                      dedup_strategy: str = "partial",
+                      dedup_strategy: str = "auto",
                       dedup_partitions: int | None = None) -> dict:
     """Single-materialization, SINGLE-EXTRACTION variant.
 
@@ -213,13 +265,27 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
     # stage appends d=1 WITHOUT touching d=0, so entity resolution (which
     # only ever reads blocking-key predicates — all direct) runs concurrently
     t0 = time.time()
+    est_total = est_per_task = None
+    if dedup_strategy == "auto":
+        # cheap sampler (driver-side, milliseconds): sizes the dedup plan —
+        # map-side partial agg below ~1.5M rows/map task, explicit
+        # prepartition + complete agg above (3x measured, BENCH/BASELINE.md)
+        est_total, est_per_task = estimate_extract_size(
+            spark, pages_path, repartition_by_url=repartition_by_url)
+        from .canonicalize import plan_dedup
+        metrics["stages"]["dedup_plan"] = {
+            "est_total_rows": est_total,
+            "est_rows_per_task": int(est_per_task),
+            "chosen": plan_dedup(est_total, est_per_task)[0]}
     side_acc = spark.sparkContext.accumulator(0)
     stream = extract_triples_with_side_sink(
         pages, sides_sink, repartition_by_url=repartition_by_url,
         side_count_acc=side_acc)
     obs_direct = Observation("direct_edges")
     direct_edges = dedup_edges(stream, strategy=dedup_strategy,
-                               num_partitions=dedup_partitions).observe(
+                               num_partitions=dedup_partitions,
+                               est_total_rows=est_total,
+                               est_rows_per_task=est_per_task).observe(
         obs_direct, F.count(F.lit(1)).alias("n"))
     write_stage(direct_edges, out_dir, "edges/d=0")
     n_direct = obs_direct.get["n"]
@@ -338,11 +404,13 @@ def main(argv=None):
     ap.add_argument("--dedup-pages", action="store_true",
                     help="exact-dedup pages by content hash before extract "
                          "(fast mode only)")
-    ap.add_argument("--dedup-strategy", default="partial",
-                    choices=["partial", "prepartition"],
-                    help="edge dedup: 'prepartition' skips the map-side "
-                         "partial aggregate (use beyond ~1-2M rows per map "
-                         "task; see olkg.canonicalize.dedup_edges)")
+    ap.add_argument("--dedup-strategy", default="auto",
+                    choices=["auto", "partial", "prepartition"],
+                    help="edge dedup: 'auto' (default) sizes the plan from "
+                         "a cheap sample — partial agg for small per-task "
+                         "row counts, prepartition+complete agg beyond "
+                         "~1.5M rows/map task (3x measured; see "
+                         "olkg.canonicalize.dedup_edges)")
     ap.add_argument("--dedup-partitions", type=int, default=None,
                     help="partition count for --dedup-strategy prepartition "
                          "(size to ~1M rows each)")

@@ -120,3 +120,52 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     ivf_all = {(r.query_id, r.neighbor_id)
                for r in ivf_topk(emb, cents, qids, k=5, nprobe=16).collect()}
     assert ivf_all == bf  # probing every cell == exact
+
+
+def test_ivf_materialized_layout_prunes_and_matches(spark, tmp_path):
+    """ivf_materialize writes the corpus cell-partitioned; the probe read
+    (1) prunes to only the probed cells' partition directories — asserted
+    on both the scan's PartitionFilters and the actual files under the
+    pruned path set — and (2) returns results identical to the in-memory
+    ivf_topk on the same codebook."""
+    import os
+    from pyspark.sql import functions as F
+    from olkg.simsearch import ivf_materialize, ivf_topk, ivf_topk_materialized
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    emb = emb.withColumn("embedding",
+                         F.transform("embedding", lambda x: x.cast("double")))
+    cents = spark.read.parquet(
+        os.path.join(os.path.dirname(entry_mod.__file__), "data",
+                     "ivf_centroids.parquet"))
+    path = str(tmp_path / "ivf_corpus")
+    ivf_materialize(emb, cents, path)
+    cells_on_disk = {d for d in os.listdir(path) if d.startswith("cell=")}
+    assert len(cells_on_disk) > 4   # corpus actually spread over cells
+
+    qids = list(range(5))
+    got = ivf_topk_materialized(spark, path, cents, qids, k=5, nprobe=2)
+    want = ivf_topk(emb, cents, qids, k=5, nprobe=2)
+    g = {(r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in got.collect()}
+    w = {(r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+    # pruning evidence: the probe filter reaches the scan as a PARTITION
+    # filter (directory-level pruning, not row-level), and the pruned scan
+    # touches fewer partition directories than exist on disk
+    corpus = spark.read.parquet(path)
+    probed = corpus.filter(F.col("cell").isin([0, 1]))
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain(mode="formatted")
+    plan = buf.getvalue()
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines and any("cell" in ln and "IN" in ln.upper()
+                            for ln in pf_lines), plan
+    # row-count agreement with the directory layout: the pruned read
+    # returns exactly the rows materialized under cell=0 and cell=1
+    want_rows = sum(
+        spark.read.parquet(os.path.join(path, d)).count()
+        for d in ("cell=0", "cell=1") if d in cells_on_disk)
+    assert probed.count() == want_rows > 0
