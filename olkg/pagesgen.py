@@ -49,10 +49,81 @@ def _parse_ts(date_col: str):
 
 _REF_FIELDS = ("authors", "works", "volumes")
 
+_ISBN_FIELDS = ("isbn_10", "isbn_13", "isbn", "isbn10", "isbn13")
+_LCCN_FIELDS = ("lccn", "lccns")
+_OCLC_FIELDS = ("oclc_numbers", "oclc_number")
+_NAME_FIELDS = ("name", "personal_name", "fuller_name")
 
-def _rewrite_keys(data: dict, suffix: str, rewrite_refs: bool) -> dict:
+
+def _mutate_isbn13(seed: str, cluster: int) -> str:
+    """A VALID ISBN-13 derived deterministically from (seed, cluster) — the
+    check digit is recomputed, so the extraction's ISBN validation keeps it
+    (an invalid mutation would silently drop the blocking key)."""
+    import hashlib
+    h = hashlib.blake2b(f"{seed}|{cluster}".encode("utf-8"),
+                        digest_size=8).hexdigest()
+    digits = "978" + str(int(h, 16) % 10**9).zfill(9)
+    check = (10 - sum((1 if i % 2 == 0 else 3) * int(d)
+                      for i, d in enumerate(digits)) % 10) % 10
+    return digits + str(check)
+
+
+def _fake_name(seed: str, cluster: int) -> str:
+    """A name string sharing (almost) no character 3-grams with other
+    clusters' names, so MinHash name bands don't chain clusters together
+    the way a shared suffix on a common name would."""
+    import hashlib
+    h = hashlib.blake2b(f"{seed}|{cluster}".encode("utf-8"),
+                        digest_size=8).hexdigest()
+    return f"{h[:8]} {h[8:]}"
+
+
+def _mutate_cluster_identity(out: dict, rtype: str, cluster: int) -> None:
+    """Re-identify a record for its near-dup CLUSTER: clusters > 0 get their
+    own (still-valid) identifiers and their own dissimilar author names, so
+    blocking-key groups and name blocks have size ≈ cluster_size — the 2-10
+    shape real crawls produce — instead of one clique per base entity
+    spanning every clone."""
+    for f in _ISBN_FIELDS:
+        v = out.get(f)
+        if isinstance(v, list):
+            out[f] = [_mutate_isbn13(x, cluster) if isinstance(x, str) else x
+                      for x in v]
+        elif isinstance(v, str):
+            out[f] = _mutate_isbn13(v, cluster)
+    for f in _LCCN_FIELDS:
+        v = out.get(f)
+        if isinstance(v, list):
+            out[f] = [x + str(cluster) if isinstance(x, str) and x else x
+                      for x in v]
+        elif isinstance(v, str) and v:
+            out[f] = v + str(cluster)
+    for f in _OCLC_FIELDS:
+        v = out.get(f)
+        if isinstance(v, list):
+            out[f] = [x + str(cluster) if isinstance(x, str) and x else x
+                      for x in v]
+        elif isinstance(v, str) and v:
+            out[f] = v + str(cluster)
+    if rtype == "/type/author":
+        for f in _NAME_FIELDS:
+            v = out.get(f)
+            if isinstance(v, str) and v:
+                out[f] = _fake_name(v, cluster)
+        alts = out.get("alternate_names")
+        if isinstance(alts, list):
+            out["alternate_names"] = [
+                _fake_name(x, cluster) if isinstance(x, str) and x else x
+                for x in alts]
+
+
+def _rewrite_keys(data: dict, suffix: str, rewrite_refs: bool,
+                  rtype: str | None = None,
+                  cluster: int | None = None) -> dict:
     """Deterministically rename the entity (and optionally its refs) for a
-    clone: key '/books/OL1M' → '/books/OL1M<suffix>'."""
+    clone: key '/books/OL1M' → '/books/OL1M<suffix>'.  With ``cluster`` set
+    and > 0, identifiers and names are re-derived per cluster (see
+    :func:`_mutate_cluster_identity`)."""
     out = json.loads(json.dumps(data))  # deep copy
     if isinstance(out.get("key"), str):
         out["key"] = out["key"] + suffix
@@ -67,6 +138,8 @@ def _rewrite_keys(data: dict, suffix: str, rewrite_refs: bool) -> dict:
                         ref = item.get("author")
                         if isinstance(ref, dict) and isinstance(ref.get("key"), str):
                             ref["key"] = ref["key"] + suffix
+    if cluster:
+        _mutate_cluster_identity(out, rtype or "", cluster)
     return out
 
 
@@ -82,11 +155,15 @@ def _set_author_refs(data: dict, author_key: str) -> None:
 
 def pages_rows(lines: list[str], clones: int = 1, rewrite_refs: bool = True,
                skew_hot_author: str | None = None,
-               skew_fraction: float = 0.0) -> list[tuple]:
+               skew_fraction: float = 0.0,
+               cluster_size: int | None = None) -> list[tuple]:
     """Rows matching PAGES_SCHEMA.  clone 0 keeps the verbatim lines; clones
     1..n-1 rewrite keys with a deterministic suffix.  With skew enabled, every
     edition clone whose index satisfies ``i % round(1/skew_fraction) == 0``
-    points all author refs at ``skew_hot_author``."""
+    points all author refs at ``skew_hot_author``.  ``cluster_size`` groups
+    clones into near-dup clusters of that size: identifiers/names are shared
+    WITHIN a cluster and re-derived ACROSS clusters, so entity-resolution
+    blocks have realistic 2-10 sizes instead of one clique per base entity."""
     rows = []
     skew_every = int(round(1.0 / skew_fraction)) if skew_fraction else 0
     for line in lines:
@@ -103,7 +180,9 @@ def pages_rows(lines: list[str], clones: int = 1, rewrite_refs: bool = True,
             if i == 0:
                 out_line, key = line, data.get("key", "")
             else:
-                d = _rewrite_keys(data, f"_c{i}", rewrite_refs)
+                d = _rewrite_keys(data, f"_c{i}", rewrite_refs, rtype=rtype,
+                                  cluster=(i // cluster_size
+                                           if cluster_size else None))
                 if (skew_hot_author and rtype in ("/type/edition", "/type/work")
                         and skew_every and i % skew_every == 0):
                     _set_author_refs(d, skew_hot_author)
@@ -125,7 +204,8 @@ def build_pages_df_distributed(spark, lines: list[str], clones: int,
                                rewrite_refs: bool = True,
                                skew_hot_author: str | None = None,
                                skew_fraction: float = 0.0,
-                               partitions: int | None = None):
+                               partitions: int | None = None,
+                               cluster_size: int | None = None):
     """Clone-scale the corpus *on the executors*: cross the base lines with a
     ``spark.range(clones)`` and rewrite keys inside an Arrow-batched UDF, so
     corpora of millions of pages never pass through the driver."""
@@ -157,7 +237,10 @@ def build_pages_df_distributed(spark, lines: list[str], clones: int,
                 if i == 0:
                     out_line, key = line, data.get("key", "")
                 else:
-                    d = _rewrite_keys(data, f"_c{i}", rewrite_refs)
+                    d = _rewrite_keys(data, f"_c{i}", rewrite_refs,
+                                      rtype=rtype,
+                                      cluster=(i // cluster_size
+                                               if cluster_size else None))
                     if (skew_hot_author
                             and rtype in ("/type/edition", "/type/work")
                             and skew_every and i % skew_every == 0):

@@ -42,7 +42,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def generate_corpus(clones: int, path: str) -> None:
+def generate_corpus(clones: int, path: str,
+                    cluster_size: int | None = None) -> None:
     from olkg.fixtures import corpus_lines
     from olkg.pagesgen import build_pages_df_distributed
     from olkg.session import build_session
@@ -52,7 +53,7 @@ def generate_corpus(clones: int, path: str) -> None:
     df = build_pages_df_distributed(
         spark, corpus_lines(include_reference=True), clones=clones,
         rewrite_refs=True, skew_hot_author="/authors/HOT1A",
-        skew_fraction=0.1, partitions=128)
+        skew_fraction=0.1, partitions=128, cluster_size=cluster_size)
     df.write.mode("overwrite").parquet(path)
     spark.stop()
 
@@ -100,15 +101,23 @@ def main():
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--levels", type=int, nargs=2, default=(2, 8))
     ap.add_argument("--skip-generate", action="store_true")
+    ap.add_argument("--cluster-size", type=int, default=5,
+                    help="near-dup cluster size for identifier/name "
+                         "re-derivation (realistic crawls: 2-10); 0 keeps "
+                         "the legacy one-clique-per-entity corpus")
+    ap.add_argument("--out-json", default="scaling.json",
+                    help="artifact filename under BENCH/")
     args = ap.parse_args()
 
-    pages_path = os.path.join(tempfile.gettempdir(),
-                              f"olkg_scaling_pages_{args.clones}")
+    cs = args.cluster_size or None
+    pages_path = os.path.join(
+        tempfile.gettempdir(),
+        f"olkg_scaling_pages_{args.clones}" + (f"_cs{cs}" if cs else ""))
     if not args.skip_generate and not os.path.exists(
             os.path.join(pages_path, "_SUCCESS")):
         print(f"generating corpus: 30 records x {args.clones} clones ...",
               flush=True)
-        generate_corpus(args.clones, pages_path)
+        generate_corpus(args.clones, pages_path, cluster_size=cs)
 
     lo, hi = sorted(args.levels)
     trials: dict[int, list] = {lo: [], hi: []}
@@ -130,6 +139,7 @@ def main():
     eff = (med[hi] / med[lo]) / (hi / lo)
     summary = {
         "clones": args.clones,
+        "cluster_size": cs,
         "pages": trials[hi][0]["pages"],
         "triples": trials[hi][0]["triples"],
         "levels": [lo, hi],
@@ -140,7 +150,7 @@ def main():
         "gate": eff >= 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", args.out_json), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({k: summary[k] for k in
                       ("pages", "triples", "levels", "scaling_efficiency",
