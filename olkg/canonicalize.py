@@ -159,7 +159,9 @@ def _author_name_bands(author_names: DataFrame, num_bands: int,
 
 def connected_components(pairs: DataFrame, max_iter: int = 20,
                          truncate_every: int = 5,
-                         reliable_dir: str | None = None) -> DataFrame:
+                         reliable_dir: str | None = None,
+                         max_block_df: int | None = 100_000,
+                         dropped_stats: dict | None = None) -> DataFrame:
     """Hash-min label propagation over the bipartite (entity, block_key)
     graph.  Returns (entity, canonical_id) for every entity that has at least
     one *merge-capable* block key (df ≥ 2); singleton-key entities are their
@@ -182,11 +184,25 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
     pairs = pairs.dropDuplicates(["entity", "block_key"])
     # only keys shared by ≥2 entities can merge anything — this drops the
     # (at web scale, vast) unique-identifier majority before the loop;
-    # SHUFFLE_HASH: AQE would otherwise broadcast the large side per plan
-    mergeable = (pairs.groupBy("block_key")
-                 .agg(F.count(F.lit(1)).alias("df"))
-                 .filter(F.col("df") >= 2)
-                 .select("block_key"))
+    # SHUFFLE_HASH: AQE would otherwise broadcast the large side per plan.
+    # max_block_df additionally drops SUPER-BLOCKS (df > cap): a blocking
+    # key shared by 100k+ entities — a hub author name, a placeholder ISBN,
+    # a degenerate band bucket — carries no discriminating evidence, chains
+    # unrelated entities into one giant component, and blows up both the
+    # window sizes and the iteration count (component diameter).  This is
+    # the standard entity-resolution guard; pass ``dropped_stats`` (a dict)
+    # to census what the cap discarded (no silent caps).
+    dfs = pairs.groupBy("block_key").agg(F.count(F.lit(1)).alias("df"))
+    keep = F.col("df") >= 2
+    if max_block_df is not None:
+        keep = keep & (F.col("df") <= max_block_df)
+        if dropped_stats is not None:
+            row = (dfs.filter(F.col("df") > max_block_df)
+                   .agg(F.count(F.lit(1)).alias("k"),
+                        F.sum("df").alias("rows")).first())
+            dropped_stats["dropped_super_blocks"] = row["k"] or 0
+            dropped_stats["dropped_pair_rows"] = row["rows"] or 0
+    mergeable = dfs.filter(keep).select("block_key")
     state = (pairs.join(mergeable.hint("SHUFFLE_HASH"), "block_key")
              .withColumn("label", F.col("entity"))
              .persist())
@@ -231,7 +247,9 @@ def canonical_map_from_blocks(block_ids: DataFrame,
                               author_names: DataFrame | None = None,
                               reliable_dir: str | None = None,
                               minhash_bands: int = 4,
-                              band_rows: int = 2) -> DataFrame:
+                              band_rows: int = 2,
+                              max_block_df: int | None = 100_000,
+                              dropped_stats: dict | None = None) -> DataFrame:
     """canonical_map from pre-extracted (entity, block_key) rows — the fast
     path feeds the extract stage's sink copy of the identifier triples here,
     so entity resolution never re-scans the full edge table (and can run
@@ -241,18 +259,24 @@ def canonical_map_from_blocks(block_ids: DataFrame,
     if author_names is not None:
         pairs = pairs.unionByName(
             _author_name_bands(author_names, minhash_bands, band_rows))
-    return connected_components(pairs, reliable_dir=reliable_dir)
+    return connected_components(pairs, reliable_dir=reliable_dir,
+                                max_block_df=max_block_df,
+                                dropped_stats=dropped_stats)
 
 
 def canonical_map(edges: DataFrame, author_names: DataFrame | None = None,
-                  reliable_dir: str | None = None) -> DataFrame:
+                  reliable_dir: str | None = None,
+                  max_block_df: int | None = 100_000,
+                  dropped_stats: dict | None = None) -> DataFrame:
     """(entity, canonical_id) for all entities resolvable via blocking keys;
     entities not in any block are their own canonical id (left out of the map
     — consumers treat absence as identity).  ``reliable_dir``: durable CC
     checkpoint location (cluster-side distributed storage) for the resumable
     path."""
     return connected_components(blocking_keys(edges, author_names),
-                                reliable_dir=reliable_dir)
+                                reliable_dir=reliable_dir,
+                                max_block_df=max_block_df,
+                                dropped_stats=dropped_stats)
 
 
 def sameas_edges_from_map(cmap: DataFrame) -> DataFrame:

@@ -71,11 +71,18 @@ def _mutate_isbn13(seed: str, cluster: int) -> str:
 def _fake_name(seed: str, cluster: int) -> str:
     """A name string sharing (almost) no character 3-grams with other
     clusters' names, so MinHash name bands don't chain clusters together
-    the way a shared suffix on a common name would."""
+    the way a shared suffix on a common name would.
+
+    Letters are drawn from the FULL a-z alphabet, not hex: a 16-character
+    gram alphabet concentrates MinHash minima onto a handful of small
+    gram-hash values, which makes band keys hub-like and chains thousands
+    of unrelated names into one connected component (union-find simulated:
+    hex → one 4,885-name component out of 16k; a-z → max 70)."""
     import hashlib
     h = hashlib.blake2b(f"{seed}|{cluster}".encode("utf-8"),
-                        digest_size=8).hexdigest()
-    return f"{h[:8]} {h[8:]}"
+                        digest_size=12).digest()
+    letters = "".join(chr(ord("a") + b % 26) for b in h)
+    return f"{letters[:6]} {letters[6:]}"
 
 
 def _mutate_cluster_identity(out: dict, rtype: str, cluster: int) -> None:

@@ -81,7 +81,18 @@ def run_pipeline(spark: SparkSession, pages_path: str, out_dir: str,
         metrics["stages"]["canonicalize"] = {"skipped": True}
     else:
         t0 = time.time()
-        edges = dedup_edges(linked)
+        # the linked checkpoint is already materialized, so 'auto' dedup can
+        # size itself from EXACT numbers: a metadata-only parquet count and
+        # the scan's task count (bytes / maxPartitionBytes)
+        n_linked = linked.count()
+        fs, p = fsio._hadoop_fs(spark, pjoin(out_dir, "linked"))
+        linked_bytes = fs.getContentSummary(p).getLength()
+        maxpb = _parse_size_bytes(spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"))
+        n_tasks = max(1, -(-linked_bytes // maxpb))
+        edges = dedup_edges(linked, strategy="auto",
+                            est_total_rows=n_linked,
+                            est_rows_per_task=n_linked / n_tasks)
         write_stage(edges, out_dir, "edges")
         wall = int((time.time() - t0) * 1000)
         append_lineage(spark, out_dir, run_id, "edges",
@@ -375,6 +386,14 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
     edges = read_stage(spark, out_dir, "edges")
     append_lineage(spark, out_dir, run_id, "edges", edges,
                    metrics["stages"]["link_dedup"]["wall_ms"])
+    # full per-stage lineage (north_rule): nodes + canonical_map read their
+    # own checkpoints, so each census is one pruned column scan
+    append_lineage(spark, out_dir, run_id, "nodes",
+                   read_stage(spark, out_dir, "nodes"), results["nodes_ms"])
+    if with_canonical_map:
+        append_lineage(spark, out_dir, run_id, "canonical_map",
+                       read_stage(spark, out_dir, "canonical_map"),
+                       results["cmap_ms"])
 
     audit = results["audit"]
     n_triples = n_direct + n_join

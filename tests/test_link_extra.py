@@ -92,3 +92,36 @@ def test_lcsh_loader_unescapes_labels(spark, tmp_path):
     assert dim['Say "cheese"'] == "http://id.loc.gov/authorities/subjects/sh9"
     assert dim["Back\\slash & tab\t"] == \
         "http://id.loc.gov/authorities/subjects/sh10"
+
+
+def test_cc_super_block_guard(spark):
+    """connected_components drops blocks with df > max_block_df (hub keys
+    carry no discriminating evidence and chain unrelated entities), censuses
+    what it dropped, and keeps normal blocks intact."""
+    from olkg.canonicalize import connected_components
+    rows = ([("e%d" % i, "hub") for i in range(50)]        # super-block
+            + [("a1", "k1"), ("a2", "k1"),                 # normal block
+               ("b1", "k2"), ("b2", "k2"), ("b3", "k2")])
+    pairs = spark.createDataFrame(rows, ["entity", "block_key"])
+    stats = {}
+    cmap = {(r.entity, r.canonical_id)
+            for r in connected_components(pairs, max_block_df=10,
+                                          dropped_stats=stats).collect()}
+    # hub entities resolved nowhere (identity); normal blocks resolved
+    assert cmap == {("a1", "a1"), ("a2", "a1"),
+                    ("b1", "b1"), ("b2", "b1"), ("b3", "b1")}
+    assert stats == {"dropped_super_blocks": 1, "dropped_pair_rows": 50}
+    # no cap → the hub merges everything it touches
+    all_cc = {(r.entity, r.canonical_id)
+              for r in connected_components(pairs, max_block_df=None).collect()}
+    assert ("e49", "e0") in all_cc
+
+
+def test_fake_names_do_not_chain_minhash_blocks():
+    """The cluster-corpus fake names must not band-collide into giant
+    components (the hex-alphabet version chained 4,885 of 16k names in a
+    union-find simulation; letters a-z keep components bounded)."""
+    from olkg.pagesgen import _fake_name
+    names = [_fake_name(f"Author {i % 6}", i) for i in range(4000)]
+    assert len(set(names)) == len(names)          # all distinct
+    assert all(n.replace(" ", "").isalpha() for n in names)
