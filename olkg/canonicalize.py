@@ -168,11 +168,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
     own canonical id and are omitted (identity).
 
     The state is the labeled pair list (entity, block_key, label); each
-    iteration is exactly TWO key-partitioned window aggregations —
-    min-over-block then min-over-entity — and ONE action (persist + count,
-    with the changed-row census piggybacked via ``observe``, so no separate
-    convergence job).  Convergence is O(component diameter); identifier
-    blocks are stars, so 2-3 iterations in practice.
+    iteration is TWO key-partitioned window aggregations — min-over-block
+    then min-over-entity — and ONE census action (persist + count, with
+    the changed-row count piggybacked via ``observe``, so no separate
+    convergence job).  Identifier blocks are stars, so 2-3 iterations in
+    practice; from iteration 3 onward a POINTER-JUMP step is added
+    (label ← label-of-label, one self-join of the labeled pairs), which
+    compresses long chains in O(log diameter) rounds — without it a chain
+    longer than ``max_iter`` hops (e.g. band-collision-chained fuzzy
+    blocks) would silently stop short of convergence.  Stars never reach
+    the jump iterations, so the common case pays nothing.
 
     Lineage is truncated every ``truncate_every`` iterations: via reliable
     ``checkpoint`` into ``reliable_dir`` when given (the durable path — an
@@ -216,14 +221,34 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
         # min(label) over the block, then min of that over the entity; both
         # include the row's own label, so labels decrease monotonically
         obs = Observation(f"cc_changed_{i}")
-        new_state = (state
-                     .withColumn("_kmin", F.min("label").over(wk))
-                     .withColumn("_new", F.min("_kmin").over(we))
-                     .select("entity", "block_key",
-                             F.col("_new").alias("label"),
-                             (F.col("_new") != F.col("label")).cast("int")
-                             .alias("_chg"))
-                     .observe(obs, F.sum("_chg").alias("n"))
+        win = (state
+               .withColumn("_kmin", F.min("label").over(wk))
+               .withColumn("_new", F.min("_kmin").over(we))
+               .select("entity", "block_key",
+                       F.col("_new").alias("label"),
+                       (F.col("_new") != F.col("label")).cast("int")
+                       .alias("_chg")))
+        if i >= 2:
+            # pointer jump: label ← label(label).  Labels are entity ids,
+            # so the per-entity label map applied to the label column
+            # halves every chain; stars are already converged by round 3.
+            # `win` is persisted because the jump reads it twice (left
+            # side + the map) — and the observed node must execute once,
+            # so the census moves to the post-join projection (a stable
+            # window step implies a stable jump, so observing window-step
+            # changes remains a sound convergence test).
+            win = win.persist()
+            jmp = (win.select(F.col("entity").alias("label"),
+                              F.col("label").alias("_jmp"))
+                   .dropDuplicates(["label"]))
+            nxt = (win.join(jmp, "label", "left")
+                   .select("entity", "block_key",
+                           F.coalesce("_jmp", "label").alias("label"),
+                           "_chg"))
+        else:
+            nxt = win
+            win = None
+        new_state = (nxt.observe(obs, F.sum("_chg").alias("n"))
                      .drop("_chg"))
         if (i + 1) % truncate_every == 0:
             new_state = (new_state.checkpoint(eager=False)
@@ -232,6 +257,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
         new_state = new_state.persist()
         new_state.count()
         state.unpersist()
+        if win is not None:
+            win.unpersist()
         state = new_state
         if obs.get["n"] == 0:
             break

@@ -125,3 +125,21 @@ def test_fake_names_do_not_chain_minhash_blocks():
     names = [_fake_name(f"Author {i % 6}", i) for i in range(4000)]
     assert len(set(names)) == len(names)          # all distinct
     assert all(n.replace(" ", "").isalpha() for n in names)
+
+
+def test_cc_long_chain_converges_within_max_iter(spark):
+    """A chain component longer than max_iter hops must still fully
+    converge: plain hash-min propagates one hop per iteration and would
+    silently stop short at max_iter; the pointer-jump step (iteration >= 3)
+    compresses chains in O(log diameter)."""
+    from olkg.canonicalize import connected_components
+    n = 60   # bipartite diameter ~120 >> max_iter=20
+    rows = []
+    for i in range(n - 1):
+        rows.append((f"e{i:03d}", f"k{i:03d}"))
+        rows.append((f"e{i+1:03d}", f"k{i:03d}"))
+    pairs = spark.createDataFrame(rows, ["entity", "block_key"])
+    cmap = connected_components(pairs, max_iter=20).collect()
+    labels = {r.canonical_id for r in cmap}
+    assert labels == {"e000"}, f"chain not fully merged: {sorted(labels)[:5]}"
+    assert len({r.entity for r in cmap}) == n
