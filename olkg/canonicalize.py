@@ -161,7 +161,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
                          truncate_every: int = 5,
                          reliable_dir: str | None = None,
                          max_block_df: int | None = 100_000,
-                         dropped_stats: dict | None = None) -> DataFrame:
+                         dropped_stats: dict | None = None,
+                         cc_stats: dict | None = None) -> DataFrame:
     """Hash-min label propagation over the bipartite (entity, block_key)
     graph.  Returns (entity, canonical_id) for every entity that has at least
     one *merge-capable* block key (df ≥ 2); singleton-key entities are their
@@ -172,12 +173,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
     then min-over-entity — and ONE census action (persist + count, with
     the changed-row count piggybacked via ``observe``, so no separate
     convergence job).  Identifier blocks are stars, so 2-3 iterations in
-    practice; from iteration 3 onward a POINTER-JUMP step is added
-    (label ← label-of-label, one self-join of the labeled pairs), which
-    compresses long chains in O(log diameter) rounds — without it a chain
-    longer than ``max_iter`` hops (e.g. band-collision-chained fuzzy
-    blocks) would silently stop short of convergence.  Stars never reach
-    the jump iterations, so the common case pays nothing.
+    practice; a POINTER-JUMP step (label ← label-of-label, one self-join
+    of the labeled pairs) compresses long chains in O(log diameter)
+    rounds — without it a chain longer than ``max_iter`` hops (e.g.
+    band-collision-chained fuzzy blocks) would silently stop short of
+    convergence.  The jump costs a persist + self-join per iteration, so
+    it is GATED on observed progress: star blocks collapse geometrically
+    (the changed-row census drops ≥4× round over round and hits 0 by
+    round 3) and never pay it; a roughly-flat changed count — the
+    signature of O(diameter) hop-at-a-time propagation through a chain —
+    engages it from iteration 3.  Past ``max_iter // 2`` it engages
+    unconditionally as a convergence backstop.  Once on, it stays on
+    (jump progress is bursty; re-gating on it would oscillate).
 
     Lineage is truncated every ``truncate_every`` iterations: via reliable
     ``checkpoint`` into ``reliable_dir`` when given (the durable path — an
@@ -197,7 +204,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
     # window sizes and the iteration count (component diameter).  This is
     # the standard entity-resolution guard; pass ``dropped_stats`` (a dict)
     # to census what the cap discarded (no silent caps).
-    dfs = pairs.groupBy("block_key").agg(F.count(F.lit(1)).alias("df"))
+    dfs = (pairs.groupBy("block_key").agg(F.count(F.lit(1)).alias("df"))
+           .persist())  # census + mergeable filter share one computation
     keep = F.col("df") >= 2
     if max_block_df is not None:
         keep = keep & (F.col("df") <= max_block_df)
@@ -212,11 +220,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
              .withColumn("label", F.col("entity"))
              .persist())
     state.count()
+    dfs.unpersist()
     if reliable_dir is not None:
         spark.sparkContext.setCheckpointDir(reliable_dir)
 
     wk = Window.partitionBy("block_key")
     we = Window.partitionBy("entity")
+    changed_hist: list[int] = []
+    jump_on = False
+    jump_engaged_at: int | None = None
     for i in range(max_iter):
         # min(label) over the block, then min of that over the entity; both
         # include the row's own label, so labels decrease monotonically
@@ -228,10 +240,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
                        F.col("_new").alias("label"),
                        (F.col("_new") != F.col("label")).cast("int")
                        .alias("_chg")))
-        if i >= 2:
+        if not jump_on and i >= 2:
+            # engage the jump only when the changed census is NOT collapsing
+            # geometrically (see docstring): flat counts mean chains, which
+            # need O(log d) jumping; a ≥4× per-round drop means stars about
+            # to hit 0, for which the jump is pure overhead.
+            prev, prev2 = changed_hist[-1], changed_hist[-2]
+            jump_on = prev > 0 and (prev * 4 > prev2 or i >= max_iter // 2)
+            if jump_on:
+                jump_engaged_at = i
+        if jump_on:
             # pointer jump: label ← label(label).  Labels are entity ids,
             # so the per-entity label map applied to the label column
-            # halves every chain; stars are already converged by round 3.
+            # halves every chain.
             # `win` is persisted because the jump reads it twice (left
             # side + the map) — and the observed node must execute once,
             # so the census moves to the post-join projection (a stable
@@ -255,13 +276,27 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
                          if reliable_dir is not None
                          else new_state.localCheckpoint(eager=False))
         new_state = new_state.persist()
-        new_state.count()
+        n_rows = new_state.count()
         state.unpersist()
         if win is not None:
             win.unpersist()
         state = new_state
-        if obs.get["n"] == 0:
+        raw = obs.get["n"]
+        if raw is None and n_rows > 0:
+            # checkpoint-truncation iterations re-plan the tree under the
+            # checkpoint and the observation does not report — carry the
+            # last census forward (conservative for the jump gate) and
+            # never treat an UNOBSERVED iteration as converged
+            n_changed = changed_hist[-1] if changed_hist else 1
+        else:
+            n_changed = raw or 0   # sum over an empty state is null
+        changed_hist.append(n_changed)
+        if raw == 0 or n_rows == 0:
             break
+    if cc_stats is not None:
+        cc_stats["iterations"] = len(changed_hist)
+        cc_stats["jump_engaged_at"] = jump_engaged_at
+        cc_stats["changed_hist"] = changed_hist
     out = state.select("entity", F.col("label").alias("canonical_id")) \
                .distinct()
     # pin the result before releasing the loop cache it derives from
@@ -276,7 +311,8 @@ def canonical_map_from_blocks(block_ids: DataFrame,
                               minhash_bands: int = 4,
                               band_rows: int = 2,
                               max_block_df: int | None = 100_000,
-                              dropped_stats: dict | None = None) -> DataFrame:
+                              dropped_stats: dict | None = None,
+                              cc_stats: dict | None = None) -> DataFrame:
     """canonical_map from pre-extracted (entity, block_key) rows — the fast
     path feeds the extract stage's sink copy of the identifier triples here,
     so entity resolution never re-scans the full edge table (and can run
@@ -288,13 +324,15 @@ def canonical_map_from_blocks(block_ids: DataFrame,
             _author_name_bands(author_names, minhash_bands, band_rows))
     return connected_components(pairs, reliable_dir=reliable_dir,
                                 max_block_df=max_block_df,
-                                dropped_stats=dropped_stats)
+                                dropped_stats=dropped_stats,
+                                cc_stats=cc_stats)
 
 
 def canonical_map(edges: DataFrame, author_names: DataFrame | None = None,
                   reliable_dir: str | None = None,
                   max_block_df: int | None = 100_000,
-                  dropped_stats: dict | None = None) -> DataFrame:
+                  dropped_stats: dict | None = None,
+                  cc_stats: dict | None = None) -> DataFrame:
     """(entity, canonical_id) for all entities resolvable via blocking keys;
     entities not in any block are their own canonical id (left out of the map
     — consumers treat absence as identity).  ``reliable_dir``: durable CC
@@ -303,7 +341,8 @@ def canonical_map(edges: DataFrame, author_names: DataFrame | None = None,
     return connected_components(blocking_keys(edges, author_names),
                                 reliable_dir=reliable_dir,
                                 max_block_df=max_block_df,
-                                dropped_stats=dropped_stats)
+                                dropped_stats=dropped_stats,
+                                cc_stats=cc_stats)
 
 
 def sameas_edges_from_map(cmap: DataFrame) -> DataFrame:

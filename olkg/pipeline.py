@@ -109,13 +109,19 @@ def run_pipeline(spark: SparkSession, pages_path: str, out_dir: str,
         # durable path: CC iterations checkpoint to the stage directory
         # (distributed storage on a cluster), so an executor/driver loss
         # resumes instead of recomputing the loop
+        dropped: dict = {}
+        cc_stats: dict = {}
         cmap = canonical_map(edges, names,
-                             reliable_dir=pjoin(out_dir, "_cc_checkpoints"))
+                             reliable_dir=pjoin(out_dir, "_cc_checkpoints"),
+                             dropped_stats=dropped, cc_stats=cc_stats)
         write_stage(cmap, out_dir, "canonical_map")
         append_lineage(spark, out_dir, run_id, "canonical_map",
                        read_stage(spark, out_dir, "canonical_map"),
                        int((time.time() - t0) * 1000))
-        metrics["stages"]["canonical_map"] = {"wall_ms": int((time.time() - t0) * 1000)}
+        # no silent caps: what the super-block guard removed is on record,
+        # as are the CC loop's iteration count and jump engagement
+        metrics["stages"]["canonical_map"] = {
+            "wall_ms": int((time.time() - t0) * 1000), **dropped, **cc_stats}
 
     # -- stage: materialize ---------------------------------------------------
     if resume and stage_complete(out_dir, "nodes"):
@@ -345,9 +351,14 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
         names = (sides.filter(F.col("kind") == "author_name")
                  .select(F.col("subj").alias("author_key"),
                          F.col("obj").alias("name")))
-        write_stage(canonical_map_from_blocks(block_ids, names),
+        dropped: dict = {}
+        cc_stats: dict = {}
+        write_stage(canonical_map_from_blocks(block_ids, names,
+                                              dropped_stats=dropped,
+                                              cc_stats=cc_stats),
                     out_dir, "canonical_map")
         results["cmap_ms"] = int((time.time() - t) * 1000)
+        results["cmap_dropped"] = {**dropped, **cc_stats}
 
     def _run_audit():
         results["audit"] = audit_pages(pages)
@@ -378,7 +389,9 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
     metrics["stages"]["link_dedup"] = {"wall_ms": results["link_ms"],
                                        "rows": n_join}
     if with_canonical_map:
-        metrics["stages"]["canonical_map"] = {"wall_ms": results["cmap_ms"]}
+        # no silent caps: super-block-guard drops are on record per run
+        metrics["stages"]["canonical_map"] = {
+            "wall_ms": results["cmap_ms"], **results["cmap_dropped"]}
     metrics["stages"]["tail"] = {
         "wall_ms": int((time.time() - t_tail) * 1000),
         "nodes_ms": results["nodes_ms"]}

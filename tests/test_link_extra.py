@@ -139,7 +139,32 @@ def test_cc_long_chain_converges_within_max_iter(spark):
         rows.append((f"e{i:03d}", f"k{i:03d}"))
         rows.append((f"e{i+1:03d}", f"k{i:03d}"))
     pairs = spark.createDataFrame(rows, ["entity", "block_key"])
-    cmap = connected_components(pairs, max_iter=20).collect()
+    stats = {}
+    cmap = connected_components(pairs, max_iter=20, cc_stats=stats).collect()
     labels = {r.canonical_id for r in cmap}
     assert labels == {"e000"}, f"chain not fully merged: {sorted(labels)[:5]}"
     assert len({r.entity for r in cmap}) == n
+    # a chain's changed census stays flat round over round — the jump gate
+    # must fire (without it the chain needs ~diameter/2 = 60 iterations)
+    assert stats["jump_engaged_at"] is not None
+    assert stats["iterations"] <= 20
+
+
+def test_cc_star_blocks_never_pay_the_jump(spark):
+    """Star blocks (the identifier-block common case) collapse their
+    changed census geometrically and converge by round 3 — the progress
+    gate must leave the pointer jump OFF so the common case pays no
+    persist + self-join per iteration."""
+    from olkg.canonicalize import connected_components
+    rows = []
+    for b in range(40):                      # 40 disjoint stars of 6
+        for m in range(6):
+            rows.append((f"s{b:02d}_{m}", f"isbn:{b:02d}"))
+    pairs = spark.createDataFrame(rows, ["entity", "block_key"])
+    stats = {}
+    cmap = {(r.entity, r.canonical_id)
+            for r in connected_components(pairs, cc_stats=stats).collect()}
+    assert len(cmap) == 240
+    assert all(c == f"s{e[1:3]}_0" for e, c in cmap)
+    assert stats["jump_engaged_at"] is None, stats
+    assert stats["iterations"] <= 3, stats
