@@ -219,22 +219,55 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, cents, query_ids=list(range(10)), k=5, nprobe=4)
 
 
-def q_ann_ivf_materialized(spark, sf_dir):
-    """IVF top-k via the CELL-PARTITIONED materialized layout
-    (olkg.simsearch.ivf_materialize): the corpus is written partitioned by
-    its IVF cell, and the probe read prunes to the probed cells' partition
-    directories (the at-scale I/O shape).  Results are identical to the
-    in-memory ivf_topk on the same committed codebook, so it shares that
-    query's oracle SQL."""
+def ensure_ivf_materialized(spark, sf_dir: str) -> str:
+    """Build (once) the cell-partitioned IVF corpus layout for this sf and
+    return its path.  Concurrent-safe: the layout is written to a unique
+    scratch directory and atomically renamed into place, so parallel runs
+    on the same sf either win the rename or reuse the winner — never read
+    a half-overwritten layout.  Re-invocations reuse the existing layout
+    (the materialize is the OFFLINE step; queries should not re-pay it)."""
     import tempfile
-    from olkg.simsearch import ivf_materialize, ivf_topk_materialized
+    import uuid
+    from olkg.simsearch import ivf_materialize
+    path = os.path.join(tempfile.gettempdir(),
+                        "olkg_ivf_corpus_" + os.path.basename(sf_dir.rstrip("/")))
+    if (os.path.exists(os.path.join(path, "_SUCCESS"))
+            and os.path.isdir(os.path.join(path, "_ids"))):
+        return path
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     emb = emb.withColumn("embedding",
                          F.transform("embedding", lambda x: x.cast("double")))
     cents = spark.read.parquet(CENTROIDS)
-    path = os.path.join(tempfile.gettempdir(),
-                        "olkg_ivf_corpus_" + os.path.basename(sf_dir))
-    ivf_materialize(emb, cents, path)
+    scratch = path + ".tmp." + uuid.uuid4().hex[:8]
+    ivf_materialize(emb, cents, scratch)
+    import shutil
+    try:
+        os.rename(scratch, path)
+    except OSError:
+        if os.path.isdir(os.path.join(path, "_ids")):
+            # a concurrent run renamed first — use its complete layout
+            shutil.rmtree(scratch, ignore_errors=True)
+        else:
+            # a STALE layout (older code version, no _ids index) occupies
+            # the target: swap it out for the fresh one
+            trash = path + ".stale." + uuid.uuid4().hex[:8]
+            os.rename(path, trash)
+            os.rename(scratch, path)
+            shutil.rmtree(trash, ignore_errors=True)
+    return path
+
+
+def q_ann_ivf_materialized(spark, sf_dir):
+    """IVF top-k via the CELL-PARTITIONED materialized layout
+    (olkg.simsearch.ivf_materialize): the corpus is written partitioned by
+    its IVF cell; the probe read prunes to the probed cells' partition
+    directories and the query-vector lookup prunes to the queried ids'
+    home cells via the _ids index (the at-scale I/O shape — no corpus
+    scan anywhere).  Results are identical to the in-memory ivf_topk on
+    the same committed codebook, so it shares that query's oracle SQL."""
+    from olkg.simsearch import ivf_topk_materialized
+    path = ensure_ivf_materialized(spark, sf_dir)
+    cents = spark.read.parquet(CENTROIDS)
     return ivf_topk_materialized(spark, path, cents,
                                  query_ids=list(range(10)), k=5, nprobe=4)
 

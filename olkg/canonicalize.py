@@ -87,6 +87,75 @@ def dedup_edges(triples: DataFrame, strategy: str = "partial",
     return triples.dropDuplicates(_EDGE_COLS)
 
 
+def with_dedup_write_cols(stream: DataFrame) -> DataFrame:
+    """Annotate an extract stream for write-then-dedup (:func:`dedup_from_raw`):
+
+    - ``h1``/``h2``: two independent 64-bit row hashes (seeds 0 / 42) over the
+      five edge columns — a 128-bit row identity.  Multi-arg ``xxhash64`` is
+      ambiguity-free here because only the TRAILING column (obj_datatype) is
+      nullable, so the null-fold property of Spark's hash (a null argument
+      leaves the seed untouched) cannot make two distinct rows collide by
+      null-position shifting.
+    - ``uid``: a unique row id (``monotonically_increasing_id``), computed
+      once inside the write's projection so it is durable — downstream jobs
+      never depend on re-deriving ids from a re-planned scan.
+
+    All three are JVM-side codegen expressions added to the write projection;
+    the Python extraction stage stays a pure narrow map."""
+    return stream.select(
+        "*",
+        F.xxhash64(*_EDGE_COLS).alias("h1"),
+        F.xxhash64(F.lit(42), *_EDGE_COLS).alias("h2"),
+        F.monotonically_increasing_id().alias("uid"))
+
+
+def dedup_from_raw(raw: DataFrame,
+                   max_broadcast_drops: int = 20_000_000,
+                   stats: dict | None = None) -> DataFrame:
+    """A4 dedup as a SEPARATE job over a materialized raw edge table (written
+    with :func:`with_dedup_write_cols` columns) — the decoupled alternative to
+    deduplicating inline in the extraction stage.
+
+    Why decouple: fused extract+dedup couples the Python-bound map stage to
+    a full shuffle of the (mostly unique) triple stream in one stage pair —
+    measured at 2.4M pages, that coupling is what capped the stage's
+    parallel scaling (BENCH/BASELINE.md, round 3).  Decoupled, the extract
+    stage is a pure narrow map+write (scales with cores), and dedup becomes
+    this job, which never shuffles the full rows at all:
+
+    1. DETECT: scan only the three long columns (h1, h2, uid — columnar
+       pruning, no string decode), one narrow shuffle of 24-byte rows,
+       window over (h1, h2) → the ``drops`` set: every uid that is a
+       non-minimal member of a duplicate hash group (~dup_fraction · N rows).
+    2. REMOVE: anti-join the raw table against ``drops`` on uid.  When the
+       drop set fits ``max_broadcast_drops`` it is BROADCAST — the full rows
+       then move zero times; beyond that the anti-join shuffles on uid
+       (equivalent volume to the fused plan's shuffle — at that scale a real
+       cluster's aggregate shuffle bandwidth is the resource that grows with
+       node count, so the full shuffle is the right plan there anyway).
+
+    Exactness rests on the 128-bit row identity: two distinct rows dropped
+    as duplicates require an (h1, h2) double collision, P ≈ n²/2¹²⁹
+    (~1e-15 at 10¹² rows).  ``stats`` (optional dict) records the drop
+    count and the chosen plan — no silent behavior switches."""
+    w = Window.partitionBy("h1", "h2")
+    drops = (raw.select("h1", "h2", "uid")
+             .withColumn("_keep", F.min("uid").over(w))
+             .withColumn("_n", F.count(F.lit(1)).over(w))
+             .filter((F.col("_n") > 1) & (F.col("uid") != F.col("_keep")))
+             .select("uid")
+             .persist())
+    n_drops = drops.count()
+    small = n_drops <= max_broadcast_drops
+    right = F.broadcast(drops) if small else drops
+    out = raw.join(right, "uid", "left_anti").select(*_EDGE_COLS)
+    if stats is not None:
+        stats["n_dropped_dups"] = n_drops
+        stats["dedup_plan"] = ("hashdrop-broadcast" if small
+                               else "hashdrop-shuffle")
+    return out
+
+
 _ID_PREDS = {
     V.BIBO_ISBN13: "isbn13",
     V.BIBO_LCCN: "lccn",

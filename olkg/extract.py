@@ -307,12 +307,16 @@ def read_side_rows(spark, side_sink: str,
 
     Existence checks go through Spark's Hadoop FileSystem (scheme-aware),
     so URI sinks work wherever Spark itself can read them.  When
-    ``expected_rows`` (the side-row accumulator's value) is positive but
-    the driver sees NO sink files, this raises instead of silently
-    returning empty — the signature of executors writing to storage the
-    driver cannot see (e.g. executor-local disks on a multi-node cluster
-    with a local-path sink), which would otherwise silently drop all
-    join-born edges, block_ids and the canonical map."""
+    ``expected_rows`` (the side-row accumulator's value) is positive, this
+    raises unless the visible sink holds AT LEAST that many rows — a sink
+    that is missing entirely OR undercounts is the signature of executors
+    writing to storage the driver cannot fully see (e.g. executor-local
+    disks on a multi-node cluster with a local-path sink, where the
+    driver-colocated executor's files ARE visible and an existence check
+    alone passes), which would otherwise silently drop join-born edges,
+    block_ids and the canonical map.  ``visible >= expected`` is the sound
+    direction: the accumulator counts each successful task exactly once,
+    and task retries can only ADD files to the sink, never remove them."""
     from . import fsio
 
     names = fsio.listdir(spark, side_sink)
@@ -326,4 +330,14 @@ def read_side_rows(spark, side_sink: str,
                 "--out/side_sink at shared storage (HDFS/S3/NFS) for "
                 "multi-node runs.")
         return spark.createDataFrame([], EXTRACT_SCHEMA)
-    return spark.read.schema(EXTRACT_SCHEMA).parquet(side_sink)
+    sides = spark.read.schema(EXTRACT_SCHEMA).parquet(side_sink)
+    if expected_rows:
+        visible = sides.count()
+        if visible < expected_rows:
+            raise RuntimeError(
+                f"side sink {side_sink!r} holds {visible} rows but "
+                f"executors reported writing {expected_rows} — part of the "
+                "sink is on storage the driver cannot see (e.g. an "
+                "executor-local path on a multi-node cluster). Point "
+                "--out/side_sink at shared storage (HDFS/S3/NFS).")
+    return sides

@@ -235,7 +235,10 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
                       with_canonical_map: bool = True,
                       dedup_pages: bool = False,
                       dedup_strategy: str = "auto",
-                      dedup_partitions: int | None = None) -> dict:
+                      dedup_partitions: int | None = None,
+                      dedup_postwrite: bool = False,
+                      est_total_rows: int | None = None,
+                      est_rows_per_task: float | None = None) -> dict:
     """Single-materialization, SINGLE-EXTRACTION variant.
 
     The expensive Python extraction UDF runs exactly once per page: the big
@@ -257,7 +260,24 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
     exact-deduplicated by content hash (url-min survivor) BEFORE extraction
     so duplicate pages never pay the Python extraction cost.  Output triples
     are unchanged whenever duplicate pages carry identical text (same
-    (s,p,o) net effect); page/audit counts then refer to distinct pages."""
+    (s,p,o) net effect); page/audit counts then refer to distinct pages.
+
+    ``dedup_postwrite``: DECOUPLE dedup from the extraction stage — the UDF
+    stream is written RAW (undeduped, a pure narrow map+write, annotated
+    with row hashes + uids), and dedup runs as a separate job over the raw
+    parquet that never shuffles the full rows (see
+    olkg.canonicalize.dedup_from_raw).  This is the scaling-safe shape: the
+    Python-bound extract stage and the shuffle-bound dedup are measured and
+    scheduled independently (on a cluster they also overlap across jobs),
+    and the round-3 scaling decomposition showed the FUSED plan's shuffle
+    coupling is what capped extract-stage scaling at 2.4M pages.
+    ``dedup_strategy``/``dedup_partitions`` are ignored in this mode; no
+    driver-side sampler runs (the raw table gives exact sizes for free).
+
+    ``est_total_rows``/``est_rows_per_task``: pre-computed sampler outputs
+    for dedup_strategy='auto' (see :func:`estimate_extract_size`) — pass
+    them to skip the in-run sampler, e.g. when benchmarking repeated runs
+    over the same corpus."""
     from pyspark.sql import Observation
 
     from .extract import (audit_pages, extract_triples_with_side_sink,
@@ -282,30 +302,54 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
     # stage appends d=1 WITHOUT touching d=0, so entity resolution (which
     # only ever reads blocking-key predicates — all direct) runs concurrently
     t0 = time.time()
-    est_total = est_per_task = None
-    if dedup_strategy == "auto":
-        # cheap sampler (driver-side, milliseconds): sizes the dedup plan —
-        # map-side partial agg below ~1.5M rows/map task, explicit
-        # prepartition + complete agg above (3x measured, BENCH/BASELINE.md)
-        est_total, est_per_task = estimate_extract_size(
-            spark, pages_path, repartition_by_url=repartition_by_url)
-        from .canonicalize import plan_dedup
-        metrics["stages"]["dedup_plan"] = {
-            "est_total_rows": est_total,
-            "est_rows_per_task": int(est_per_task),
-            "chosen": plan_dedup(est_total, est_per_task)[0]}
     side_acc = spark.sparkContext.accumulator(0)
     stream = extract_triples_with_side_sink(
         pages, sides_sink, repartition_by_url=repartition_by_url,
         side_count_acc=side_acc)
-    obs_direct = Observation("direct_edges")
-    direct_edges = dedup_edges(stream, strategy=dedup_strategy,
-                               num_partitions=dedup_partitions,
-                               est_total_rows=est_total,
-                               est_rows_per_task=est_per_task).observe(
-        obs_direct, F.count(F.lit(1)).alias("n"))
-    write_stage(direct_edges, out_dir, "edges/d=0")
-    n_direct = obs_direct.get["n"]
+    if dedup_postwrite:
+        # decoupled shape: (a) raw write — pure narrow map, the Python
+        # extraction never shares a stage with a shuffle; (b) dedup job over
+        # the raw parquet — narrow hash-column shuffle + anti-join (full
+        # rows move zero times on the broadcast plan)
+        from .canonicalize import dedup_from_raw, with_dedup_write_cols
+        fsio.delete(spark, pjoin(out_dir, "edges_raw"))
+        write_stage(with_dedup_write_cols(stream), out_dir, "edges_raw")
+        t1 = time.time()
+        metrics["stages"]["extract_raw"] = {
+            "wall_ms": int((t1 - t0) * 1000)}
+        dstats: dict = {}
+        obs_direct = Observation("direct_edges")
+        direct_edges = dedup_from_raw(
+            read_stage(spark, out_dir, "edges_raw"), stats=dstats).observe(
+            obs_direct, F.count(F.lit(1)).alias("n"))
+        write_stage(direct_edges, out_dir, "edges/d=0")
+        n_direct = obs_direct.get["n"]
+        metrics["stages"]["dedup_direct"] = {
+            "wall_ms": int((time.time() - t1) * 1000), "rows": n_direct,
+            **dstats}
+    else:
+        est_total, est_per_task = est_total_rows, est_rows_per_task
+        if dedup_strategy == "auto" and est_per_task is None:
+            # cheap sampler (driver-side, milliseconds): sizes the dedup
+            # plan — map-side partial agg below ~1.5M rows/map task,
+            # explicit prepartition + complete agg above (3x measured,
+            # BENCH/BASELINE.md)
+            est_total, est_per_task = estimate_extract_size(
+                spark, pages_path, repartition_by_url=repartition_by_url)
+        if dedup_strategy == "auto":
+            from .canonicalize import plan_dedup
+            metrics["stages"]["dedup_plan"] = {
+                "est_total_rows": est_total,
+                "est_rows_per_task": int(est_per_task),
+                "chosen": plan_dedup(est_total, est_per_task)[0]}
+        obs_direct = Observation("direct_edges")
+        direct_edges = dedup_edges(stream, strategy=dedup_strategy,
+                                   num_partitions=dedup_partitions,
+                                   est_total_rows=est_total,
+                                   est_rows_per_task=est_per_task).observe(
+            obs_direct, F.count(F.lit(1)).alias("n"))
+        write_stage(direct_edges, out_dir, "edges/d=0")
+        n_direct = obs_direct.get["n"]
     metrics["stages"]["extract_dedup_direct"] = {
         "wall_ms": int((time.time() - t0) * 1000), "rows": n_direct}
 
@@ -400,7 +444,11 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
     append_lineage(spark, out_dir, run_id, "edges", edges,
                    metrics["stages"]["link_dedup"]["wall_ms"])
     # full per-stage lineage (north_rule): nodes + canonical_map read their
-    # own checkpoints, so each census is one pruned column scan
+    # own checkpoints, so each census is one pruned column scan; the side
+    # sink census (written during the extract stage) is a lineage row too,
+    # completing the per-stage account
+    append_lineage(spark, out_dir, run_id, "sides", sides,
+                   metrics["stages"]["extract_dedup_direct"]["wall_ms"])
     append_lineage(spark, out_dir, run_id, "nodes",
                    read_stage(spark, out_dir, "nodes"), results["nodes_ms"])
     if with_canonical_map:
@@ -446,6 +494,11 @@ def main(argv=None):
     ap.add_argument("--dedup-partitions", type=int, default=None,
                     help="partition count for --dedup-strategy prepartition "
                          "(size to ~1M rows each)")
+    ap.add_argument("--dedup-postwrite", action="store_true",
+                    help="fast mode: write the extract stream raw (pure "
+                         "narrow map) and dedup as a separate job that "
+                         "shuffles only 24-byte hash rows "
+                         "(olkg.canonicalize.dedup_from_raw)")
     args = ap.parse_args(argv)
 
     from .session import build_session
@@ -464,7 +517,8 @@ def main(argv=None):
                                     repartition_by_url=args.repartition_by_url,
                                     dedup_pages=args.dedup_pages,
                                     dedup_strategy=args.dedup_strategy,
-                                    dedup_partitions=args.dedup_partitions)
+                                    dedup_partitions=args.dedup_partitions,
+                                    dedup_postwrite=args.dedup_postwrite)
     else:
         metrics = run_pipeline(spark, args.pages, args.out, lcsh=lcsh,
                                resume=not args.no_resume,

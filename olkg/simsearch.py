@@ -264,28 +264,55 @@ def ivf_materialize(embeddings: DataFrame, centroids: DataFrame, path: str,
     (offline, one shuffle); every later query pays I/O proportional to
     nprobe/k_cells of the corpus, enforced by parquet partition pruning
     (asserted in tests/test_textops.py)."""
-    cells = ivf_assignments(embeddings, centroids, id_col, vec_col)
+    cells = ivf_assignments(embeddings, centroids, id_col, vec_col).persist()
     (embeddings
      .join(cells, embeddings[id_col] == cells["id"])
      .drop("id")
      .write.mode("overwrite").partitionBy("cell").parquet(path))
+    # id→cell index (two longs per vector, ~1/1000th of the corpus bytes):
+    # written under an underscore-prefixed subdirectory so the corpus
+    # partition discovery ignores it.  It lets a query-BY-ID lookup read
+    # only the queried ids' home cells instead of scanning every cell's
+    # files for 10 rows — without it, the query fetch alone would touch
+    # the whole corpus at 100 TB.
+    cells.write.mode("overwrite").parquet(path + "/_ids")
+    cells.unpersist()
 
 
 def ivf_topk_materialized(spark, corpus_path: str, centroids: DataFrame,
-                          query_ids: list[int], k: int = 5, nprobe: int = 4,
+                          query_ids: list[int] | None = None,
+                          k: int = 5, nprobe: int = 4,
                           id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
+                          vec_col: str = "embedding",
+                          queries: DataFrame | None = None) -> DataFrame:
     """IVF top-k against a cell-partitioned corpus written by
     :func:`ivf_materialize` — identical results to :func:`ivf_topk` on the
-    same codebook (tested), but the candidate scan reads ONLY the probed
-    cells' files (partition pruning on the ``cell`` directory column).
+    same codebook (tested), and EVERY read of the corpus prunes to cell
+    directories (partition pruning on the ``cell`` column):
+
+    - candidate scoring reads only the probed cells' files;
+    - the query vectors come either from an explicit ``queries`` DataFrame
+      (``id_col``, ``vec_col`` — the realistic serving API, queries are
+      usually not corpus rows and the corpus is never touched for them), or
+      by ``query_ids`` via the tiny ``_ids`` index ``ivf_materialize``
+      writes alongside, which maps each queried id to its home cell so the
+      vector fetch reads ≤ |queries| cell directories — never a full scan.
 
     The probed-cell list (≤ |queries|·nprobe ints) is collected to the
     driver to become a partition-pruning predicate — that is the point of
     the layout, not a driver-side compute loop."""
     corpus = spark.read.parquet(corpus_path)
-    q = (corpus.filter(F.col(id_col).isin(query_ids))
-         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
+    if queries is not None:
+        q = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qv"))
+    else:
+        idx = spark.read.parquet(corpus_path + "/_ids")
+        qcells = [r.cell for r in (idx.filter(F.col("id").isin(query_ids))
+                                   .select("cell").distinct().collect())]
+        q = (corpus.filter(F.col("cell").isin(qcells))
+             .filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("query_id"),
+                     F.col(vec_col).alias("qv")))
     qc = q.crossJoin(F.broadcast(centroids.select("centroid_id", "c")))
     qcos = (_dot(F.col("qv"), F.col("c")) /
             (_norm(F.col("qv")) * _norm(F.col("c"))))

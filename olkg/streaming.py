@@ -79,7 +79,8 @@ def stream_events_hourly(events: DataFrame,
                     .alias("hour"), "user_id", "n_events", "sum_value"))
 
 
-def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
+                      watermark_minutes: int | None = None) -> DataFrame:
     """Custom stateful operator: gap-based per-user sessionization via
     ``applyInPandasWithState`` (the arbitrary-stateful-processing escape
     hatch when windowed aggs can't express the semantics — a session has no
@@ -90,7 +91,15 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     trailing open session is carried in state and closed either by a later
     batch's events or by the event-time timeout (watermark passing
     session_end + gap).  State per user is one fixed-width row — bounded
-    regardless of stream length."""
+    regardless of stream length.
+
+    ``watermark_minutes`` (default: the gap) is the lateness tolerance —
+    rows older than the watermark are dropped by the engine before they
+    reach the state function.  Setting it LARGER than the gap admits late
+    events that precede the open session by more than a whole gap; those
+    are grouped among themselves with the same gap rule and emitted as
+    earlier closed sessions (or merged into the open session when they
+    chain into it), matching the batch twin's global time order."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = ("user_id bigint, session_start timestamp, "
@@ -114,6 +123,7 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
         cur = list(state.get) if state.exists else None
         closed = []
+        pre = []   # late events wholly before the open session, in ts order
         # One global sort over the whole micro-batch: pdf_iter may deliver
         # several Arrow chunks, and sorting each independently would process
         # events out of time order (diverging from the batch twin,
@@ -130,9 +140,10 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 cur = [ts, ts, 1, float(val)]
             elif (cur[0] - ts).total_seconds() * 1000 > gap_ms:
                 # late event wholly BEFORE the open session (gap on the
-                # other side): it forms its own earlier session — emit it
-                # closed without touching the open one
-                closed.append((user_id, ts, ts, 1, float(val)))
+                # other side): buffer it — several such events may be
+                # within gap of EACH OTHER and must merge into one earlier
+                # session (as the batch twin would), not one singleton each
+                pre.append((ts, float(val)))
             else:
                 # in-gap event (possibly late/out-of-order across batches):
                 # merge without ever regressing the session bounds
@@ -140,6 +151,29 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 cur[1] = max(cur[1], ts)
                 cur[2] += 1
                 cur[3] += float(val)
+        # gap-group the buffered pre-session events (ascending: the batch
+        # is globally sorted, so pre preserves ts order).  The LAST group
+        # may end within gap of the FINAL open-session start — an in-gap
+        # merge above can pull cur[0] earlier than it was when these
+        # events were classified — in which case it belongs to the open
+        # session, not to its own closed one.  Only the last group can
+        # qualify: earlier groups are separated from it by > gap.
+        groups = []
+        for ts, val in pre:
+            if groups and (ts - groups[-1][1]).total_seconds() * 1000 <= gap_ms:
+                g = groups[-1]
+                g[1] = ts
+                g[2] += 1
+                g[3] += val
+            else:
+                groups.append([ts, ts, 1, val])
+        if (groups and cur is not None
+                and (cur[0] - groups[-1][1]).total_seconds() * 1000 <= gap_ms):
+            g = groups.pop()
+            cur[0] = min(cur[0], g[0])
+            cur[2] += g[2]
+            cur[3] += g[3]
+        closed.extend((user_id, *g) for g in groups)
         if cur is not None:
             state.update(tuple(cur))
             # close the trailing session when the watermark passes its gap
@@ -148,9 +182,10 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         if closed:
             yield pd.DataFrame(closed, columns=cols)
 
+    wm = watermark_minutes if watermark_minutes is not None else gap_minutes
     return (events
             .withColumn("ts", F.col("ts").cast("timestamp"))
-            .withWatermark("ts", f"{gap_minutes} minutes")
+            .withWatermark("ts", f"{wm} minutes")
             .groupBy("user_id")
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append",

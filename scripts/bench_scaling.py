@@ -58,7 +58,7 @@ def generate_corpus(clones: int, path: str,
     spark.stop()
 
 
-def run_at(cores: int, pages_path: str) -> dict:
+def run_at(cores: int, pages_path: str, dedup_mode: str = "fused") -> dict:
     out = tempfile.mkdtemp(prefix=f"olkg_scale_{cores}_")
     # fixed moderate heap at every level: on this VM, JVM heaps ≥32g degrade
     # throughput 2-3x (host-side page backing) — and a constant heap also
@@ -80,6 +80,8 @@ def run_at(cores: int, pages_path: str) -> dict:
            "--hot-threshold", "50000",
            # north_rule: repartition pages by url-hash ahead of extraction
            "--repartition-by-url", str(cores * 2)]
+    if dedup_mode == "postwrite":
+        cmd.append("--dedup-postwrite")
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
                           cwd=REPO)
@@ -107,6 +109,11 @@ def main():
                          "the legacy one-clique-per-entity corpus")
     ap.add_argument("--out-json", default="scaling.json",
                     help="artifact filename under BENCH/")
+    ap.add_argument("--dedup-mode", default="fused",
+                    choices=["fused", "postwrite"],
+                    help="'postwrite' decouples dedup from the extract "
+                         "stage (raw write + hash-drop dedup job; see "
+                         "olkg.canonicalize.dedup_from_raw)")
     args = ap.parse_args()
 
     cs = args.cluster_size or None
@@ -125,7 +132,7 @@ def main():
         for cores in (lo, hi):  # interleave levels against host drift
             print(f"trial {i + 1}/{args.trials}: local[{cores}] ...",
                   flush=True)
-            m = run_at(cores, pages_path)
+            m = run_at(cores, pages_path, dedup_mode=args.dedup_mode)
             rec = {"wall_s": m["wall_s"], "triples": m["triples"],
                    "pages": m["pages"],
                    "tps": round(m["triples"] / m["wall_s"], 1),
@@ -140,6 +147,7 @@ def main():
     summary = {
         "clones": args.clones,
         "cluster_size": cs,
+        "dedup_mode": args.dedup_mode,
         "pages": trials[hi][0]["pages"],
         "triples": trials[hi][0]["triples"],
         "levels": [lo, hi],

@@ -169,3 +169,53 @@ def test_ivf_materialized_layout_prunes_and_matches(spark, tmp_path):
         spark.read.parquet(os.path.join(path, d)).count()
         for d in ("cell=0", "cell=1") if d in cells_on_disk)
     assert probed.count() == want_rows > 0
+
+
+def test_ivf_materialized_query_lookup_prunes_and_queries_df(spark, tmp_path):
+    """Round-4 contract extension: EVERY corpus scan in the materialized
+    IVF query — the candidate scan AND the query-vector lookup — carries a
+    partition filter on `cell` (via the _ids index), so total files read is
+    bounded by the probed + query-home cells, never the whole corpus.  An
+    explicit `queries` DataFrame skips the corpus lookup entirely and gives
+    identical results for corpus-resident vectors."""
+    import contextlib
+    import io
+    import os
+    from pyspark.sql import functions as F
+    from olkg.simsearch import ivf_materialize, ivf_topk, ivf_topk_materialized
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    emb = emb.withColumn("embedding",
+                         F.transform("embedding", lambda x: x.cast("double")))
+    cents = spark.read.parquet(
+        os.path.join(os.path.dirname(entry_mod.__file__), "data",
+                     "ivf_centroids.parquet"))
+    path = str(tmp_path / "ivf_corpus")
+    ivf_materialize(emb, cents, path)
+    assert os.path.isdir(path + "/_ids")   # the id→cell index exists
+
+    qids = list(range(5))
+    got = ivf_topk_materialized(spark, path, cents, qids, k=5, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain(mode="formatted")
+    plan = buf.getvalue()
+    # every scan over the cell-partitioned corpus (not the _ids index) must
+    # be partition-pruned; an unpruned corpus scan = full-corpus I/O at scale
+    scans = [b for b in plan.split("\n\n")
+             if "Scan parquet" in b and "ivf_corpus" in b
+             and "_ids" not in b]
+    assert scans, plan
+    for b in scans:
+        pf = [ln for ln in b.splitlines() if "PartitionFilters" in ln]
+        assert pf and any("cell" in ln for ln in pf), b
+
+    # explicit-queries path: same results, corpus untouched for the lookup
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    got_q = ivf_topk_materialized(spark, path, cents, k=5, nprobe=2,
+                                  queries=queries)
+    want = ivf_topk(emb, cents, qids, k=5, nprobe=2)
+    as_set = lambda df: {(r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+                         for r in df.collect()}
+    assert as_set(got) == as_set(got_q) == as_set(want)
+    assert len(as_set(got)) > 0

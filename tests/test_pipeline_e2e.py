@@ -367,3 +367,81 @@ def test_fast_pipeline_auto_dedup(spark, corpus, tmp_path_factory):
     p, r = precision_recall(result, golden)
     assert p == 1.0 and r == 1.0
     assert metrics["stages"]["dedup_plan"]["chosen"] == "partial"
+
+
+def test_dedup_from_raw_exact_and_plans(spark):
+    """dedup_from_raw equals dropDuplicates on both plans (broadcast drop
+    set and shuffled anti-join), and its DETECT pass scans only the three
+    long columns (columnar pruning — no string decode in the narrow pass)."""
+    from olkg.canonicalize import dedup_from_raw, with_dedup_write_cols
+    rows = ([("s%d" % i, "p", "o%d" % (i % 7), "uri", None)
+             for i in range(40)]        # 7 distinct (s varies → 40 distinct)
+            + [("s1", "p", "o1", "uri", None)] * 5     # true dups
+            + [("s2", "p", "o2", "uri", "dt")] * 3)    # dups w/ datatype
+    cols = "subj string, pred string, obj string, obj_kind string, obj_datatype string"
+    stream = spark.createDataFrame(rows, cols)
+    raw = with_dedup_write_cols(stream)
+    want = set(map(tuple, stream.dropDuplicates().collect()))
+
+    for max_bc in (1 << 30, 0):          # broadcast plan, then shuffle plan
+        stats = {}
+        got = dedup_from_raw(raw, max_broadcast_drops=max_bc, stats=stats)
+        got_set = list(map(tuple, got.collect()))
+        assert len(got_set) == len(want) and set(got_set) == want
+        assert stats["n_dropped_dups"] == 5 + 2
+        assert stats["dedup_plan"] == ("hashdrop-broadcast" if max_bc
+                                       else "hashdrop-shuffle")
+
+    # columnar pruning evidence on a real parquet-backed raw table
+    import contextlib, io, tempfile
+    path = tempfile.mkdtemp(prefix="olkg_raw_prune_") + "/raw.parquet"
+    raw.write.mode("overwrite").parquet(path)
+    raw_pq = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("h1", "h2")
+    narrow = (raw_pq.select("h1", "h2", "uid")
+              .withColumn("_keep", F.min("uid").over(w)))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        narrow.explain(mode="formatted")
+    plan = buf.getvalue()
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and all("subj" not in ln and "obj" not in ln for ln in rs), plan
+
+
+def test_fast_pipeline_postwrite_dedup(spark, corpus, tmp_path_factory):
+    """dedup_postwrite (raw write + decoupled hash-drop dedup job)
+    reproduces the identical golden edge set with no duplicate rows, and
+    records the decoupled stage walls + chosen dedup plan in metrics."""
+    from olkg.pipeline import run_pipeline_fast
+    out = str(tmp_path_factory.mktemp("olkg_pw_out"))
+    pages_path = str(tmp_path_factory.mktemp("pages_pw")) + "/pages.parquet"
+    build_pages_df(spark, corpus).write.mode("overwrite").parquet(pages_path)
+    lcsh = spark.createDataFrame(LCSH_ROWS, LCSH_SCHEMA)
+    metrics = run_pipeline_fast(spark, pages_path, out, lcsh=lcsh,
+                                hot_threshold=100, num_salts=4,
+                                dedup_postwrite=True)
+    edges = spark.read.parquet(out + "/edges")
+    n_rows = edges.count()
+    result = edges_set(spark, out)
+    assert n_rows == len(result), "edges table contains duplicate rows"
+    golden = golden_triples(corpus, dict(LCSH_ROWS))
+    p, r = precision_recall(result, golden)
+    assert p == 1.0 and r == 1.0, (
+        f"P={p} R={r}; spurious={list(result - golden)[:5]} "
+        f"missing={list(golden - result)[:5]}")
+    assert metrics["triples"] == len(golden)
+    assert metrics["text_mismatches"] == 0
+    assert "extract_raw" in metrics["stages"]
+    assert metrics["stages"]["dedup_direct"]["dedup_plan"] == \
+        "hashdrop-broadcast"
+    # the raw stage table is kept (stage lineage); its row count equals
+    # deduped rows + detected drops — the decomposition is exact
+    raw = spark.read.parquet(out + "/edges_raw")
+    assert raw.count() == (metrics["stages"]["dedup_direct"]["rows"]
+                           + metrics["stages"]["dedup_direct"]["n_dropped_dups"])
+    # fast-path lineage covers every stage including the side sink census
+    lineage = spark.read.parquet(out + "/lineage")
+    stages = {r.stage for r in lineage.select("stage").distinct().collect()}
+    assert {"edges", "nodes", "canonical_map", "sides"} <= stages

@@ -9,7 +9,10 @@ lingering in it — fails the suite.  Fix: ``sh scripts/make_pyfiles.sh``.
 
 import hashlib
 import pathlib
+import subprocess
 import zipfile
+
+import pytest
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
@@ -18,8 +21,21 @@ def _md5(data: bytes) -> str:
     return hashlib.md5(data).hexdigest()
 
 
-def test_pyfiles_zip_matches_source_tree():
+@pytest.fixture(scope="session")
+def built_zip() -> pathlib.Path:
+    """dist/ is a gitignored build artifact — on a fresh checkout it does
+    not exist yet, so build it here (the same script a deployer runs)
+    instead of failing the suite; the strict drift check below then guards
+    a STALE zip, which is the actual hazard."""
     zip_path = REPO / "dist" / "olkg.zip"
+    if not zip_path.exists():
+        subprocess.run(["sh", str(REPO / "scripts" / "make_pyfiles.sh")],
+                       check=True, cwd=REPO, capture_output=True)
+    return zip_path
+
+
+def test_pyfiles_zip_matches_source_tree(built_zip):
+    zip_path = built_zip
     assert zip_path.exists(), "dist/olkg.zip missing — run scripts/make_pyfiles.sh"
 
     src = {str(p.relative_to(REPO)): _md5(p.read_bytes())

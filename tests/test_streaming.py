@@ -121,12 +121,14 @@ def test_stream_sessionize(spark, tmp_path):
             t0 + dt.timedelta(minutes=60), 1) in got2
 
 
-def _run_sessionize(spark, in_dir, out, ck, gap_minutes=30):
+def _run_sessionize(spark, in_dir, out, ck, gap_minutes=30,
+                    watermark_minutes=None):
     from olkg.streaming import stream_sessionize
     stream = (spark.readStream
               .schema("user_id long, ts timestamp, value double")
               .parquet(str(in_dir) + "/*"))
-    q = (stream_sessionize(stream, gap_minutes=gap_minutes)
+    q = (stream_sessionize(stream, gap_minutes=gap_minutes,
+                           watermark_minutes=watermark_minutes)
          .writeStream.outputMode("append")
          .option("checkpointLocation", ck)
          .format("parquet").option("path", out)
@@ -205,3 +207,59 @@ def test_stream_sessionize_event_after_timeout_starts_new_session(spark, tmp_pat
            for r in spark.read.parquet(out).collect()}
     assert (1, t0, t0, 1) in got, got
     assert (1, t_new, t_new, 1) in got, got
+
+
+def test_stream_sessionize_pre_session_late_events_merge(spark, tmp_path):
+    """With a lateness tolerance LARGER than the gap (watermark 120 min,
+    gap 30 — with watermark == gap the engine drops such rows before the
+    state function ever sees them), multiple late events that each precede
+    the open session by > gap but lie within gap of EACH OTHER merge into
+    ONE earlier closed session (the batch twin's grouping), not one
+    singleton session each; and a pre-batch group that chains to within
+    gap of where an in-gap merge pulled the open session's start joins the
+    OPEN session instead of closing separately."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    in_dir = tmp_path / "pre_in"
+    in_dir.mkdir()
+    out, ck = str(tmp_path / "pre_out"), str(tmp_path / "pre_ck")
+
+    def write(name, rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).write.parquet(str(in_dir / name))
+
+    # batch A: open session [t0+100, t0+100] for user 1
+    m = dt.timedelta
+    write("a.parquet", [(1, t0 + m(minutes=100), 1.0)])
+    _run_sessionize(spark, in_dir, out, ck, gap_minutes=30,
+                    watermark_minutes=120)
+    # batch B: two late events at t0+0 and t0+20 — each > 30 min before the
+    # open session, but within 30 min of each other → ONE closed session
+    write("b.parquet", [(1, t0, 2.0), (1, t0 + m(minutes=20), 4.0)])
+    _run_sessionize(spark, in_dir, out, ck, gap_minutes=30,
+                    watermark_minutes=120)
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+           for r in spark.read.parquet(out).collect()}
+    assert (1, t0, t0 + m(minutes=20), 2, 6.0) in got, got
+    assert len(got) == 1, got   # NOT two singletons
+
+    # user 2: open session at t0+100; one batch carries both a pre event at
+    # t0+45 and an in-gap event at t0+72 — the in-gap merge pulls the open
+    # start to t0+72, which puts t0+45 within gap of the OPEN session → it
+    # must merge there (3-event open session), not close as a singleton
+    write("c.parquet", [(2, t0 + m(minutes=100), 1.0)])
+    _run_sessionize(spark, in_dir, out, ck, gap_minutes=30,
+                    watermark_minutes=120)
+    write("d.parquet", [(2, t0 + m(minutes=45), 2.0),
+                        (2, t0 + m(minutes=72), 4.0)])
+    _run_sessionize(spark, in_dir, out, ck, gap_minutes=30,
+                    watermark_minutes=120)
+    # close user 2's open session via gap-out
+    write("e.parquet", [(2, t0 + m(minutes=200), 8.0)])
+    _run_sessionize(spark, in_dir, out, ck, gap_minutes=30,
+                    watermark_minutes=120)
+    got2 = {(r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+            for r in spark.read.parquet(out).collect()}
+    assert (2, t0 + m(minutes=45), t0 + m(minutes=100), 3, 7.0) in got2, got2
