@@ -102,6 +102,7 @@ def main() -> None:
     n_trials = int(os.environ.get("OLKG_BENCH_TRIALS", "3"))
     est_total, est_per_task = estimate_extract_size(spark, pages_path)
     trials: dict[str, list[float]] = {"kg_pipeline": [],
+                                      "kg_pipeline_postwrite": [],
                                       "kg_pipeline_durable": []}
     m = None
     for _ in range(n_trials):
@@ -113,6 +114,17 @@ def main() -> None:
                               est_total_rows=est_total,
                               est_rows_per_task=est_per_task)
         trials["kg_pipeline"].append(round(time.time() - t0, 3))
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+        # the decoupled-dedup scale path (what the 2.4M gate measures) —
+        # tracked separately so its bench-scale overhead vs the fused plan
+        # is on record round over round
+        out_dir = tempfile.mkdtemp(prefix="olkg_bench_out_p_")
+        t0 = time.time()
+        run_pipeline_fast(spark, pages_path, out_dir, lcsh=lcsh,
+                          hot_threshold=50_000, num_salts=16,
+                          with_canonical_map=True, dedup_postwrite=True)
+        trials["kg_pipeline_postwrite"].append(round(time.time() - t0, 3))
         shutil.rmtree(out_dir, ignore_errors=True)
 
         out_dir = tempfile.mkdtemp(prefix="olkg_bench_out_d_")
