@@ -111,7 +111,10 @@ def with_dedup_write_cols(stream: DataFrame) -> DataFrame:
 
 def dedup_from_raw(raw: DataFrame,
                    max_broadcast_drops: int = 20_000_000,
-                   stats: dict | None = None) -> DataFrame:
+                   stats: dict | None = None,
+                   detect: str = "hashagg",
+                   detect_partitions: int | None = None,
+                   cleanup: list | None = None) -> DataFrame:
     """A4 dedup as a SEPARATE job over a materialized raw edge table (written
     with :func:`with_dedup_write_cols` columns) — the decoupled alternative to
     deduplicating inline in the extraction stage.
@@ -121,30 +124,87 @@ def dedup_from_raw(raw: DataFrame,
     measured at 2.4M pages, that coupling is what capped the stage's
     parallel scaling (BENCH/BASELINE.md, round 3).  Decoupled, the extract
     stage is a pure narrow map+write (scales with cores), and dedup becomes
-    this job, which never shuffles the full rows at all:
+    this job, which never shuffles the full rows at all on the broadcast
+    plan.
 
-    1. DETECT: scan only the three long columns (h1, h2, uid — columnar
-       pruning, no string decode), one narrow shuffle of 24-byte rows,
-       window over (h1, h2) → the ``drops`` set: every uid that is a
-       non-minimal member of a duplicate hash group (~dup_fraction · N rows).
-    2. REMOVE: anti-join the raw table against ``drops`` on uid.  When the
-       drop set fits ``max_broadcast_drops`` it is BROADCAST — the full rows
-       then move zero times; beyond that the anti-join shuffles on uid
-       (equivalent volume to the fused plan's shuffle — at that scale a real
-       cluster's aggregate shuffle bandwidth is the resource that grows with
-       node count, so the full shuffle is the right plan there anyway).
+    DETECT formulations (``detect=``), both scanning only the three long
+    columns (h1, h2, uid — columnar pruning, no string decode):
+
+    - ``'hashagg'`` (default): explicit repartition on (h1, h2) then ONE
+      complete hash aggregate — groupBy(h1, h2) → (min uid, count) — kept
+      only where count > 1.  The repartition-first shape skips the map-side
+      partial pass, which on a mostly-UNIQUE key stream reduces nothing
+      while building a giant per-task hash map (the dedup_edges
+      'prepartition' lesson, 3x measured), and a hash aggregate never sorts
+      — the phase probe showed the sort-based window detect is
+      spill-sensitive at low parallelism (anti-scaled in one 2.4M trial).
+      The dup-GROUP table (one 24-byte row per duplicated hash group,
+      regardless of group size) is the only detect output.
+    - ``'window'``: min/count window over (h1, h2) → per-row keep marks —
+      one narrow shuffle plus a per-partition SORT of the projection; the
+      round-4 formulation, kept for A/B measurement.
+
+    REMOVE: when the detected duplicate volume fits ``max_broadcast_drops``
+    the small side is BROADCAST and the full rows move ZERO times —
+    'hashagg' joins the group table back on (h1, h2) keeping rows with no
+    group entry or uid == min (so it never materializes a per-row drop
+    set at all); 'window' anti-joins the drop set on uid.  Beyond the
+    broadcast bound the join shuffles (SHUFFLE_HASH — volume equivalent to
+    the fused plan's shuffle; at that scale a real cluster's aggregate
+    shuffle bandwidth is the resource that grows with node count, so the
+    full shuffle is the right plan there anyway).
 
     Exactness rests on the 128-bit row identity: two distinct rows dropped
     as duplicates require an (h1, h2) double collision, P ≈ n²/2¹²⁹
     (~1e-15 at 10¹² rows).  ``stats`` (optional dict) records the drop
-    count and the chosen plan — no silent behavior switches."""
+    count and the chosen plan — no silent behavior switches.  ``cleanup``
+    (optional list): persisted intermediates are appended for the caller to
+    unpersist once the output is materialized (they must outlive the
+    returned plan's execution, so this function cannot unpersist them
+    itself)."""
+    proj = raw.select("h1", "h2", "uid")
+    if detect == "hashagg":
+        pre = (proj.repartition(detect_partitions, "h1", "h2")
+               if detect_partitions else proj.repartition("h1", "h2"))
+        groups = (pre.groupBy("h1", "h2")
+                  .agg(F.min("uid").alias("_keep"),
+                       F.count(F.lit(1)).alias("_n"))
+                  .filter(F.col("_n") > 1)
+                  .persist())
+        if cleanup is not None:
+            cleanup.append(groups)
+        census = groups.agg(
+            F.count(F.lit(1)).alias("g"),
+            F.sum(F.col("_n") - F.lit(1)).alias("d")).first()
+        n_groups, n_drops = census["g"] or 0, census["d"] or 0
+        small = n_drops <= max_broadcast_drops
+        right = groups.select("h1", "h2", "_keep")
+        if small:
+            joined = raw.join(F.broadcast(right), ["h1", "h2"], "left")
+        else:
+            joined = raw.join(right.hint("SHUFFLE_HASH"),
+                              ["h1", "h2"], "left")
+        out = (joined
+               .filter(F.col("_keep").isNull()
+                       | (F.col("uid") == F.col("_keep")))
+               .select(*_EDGE_COLS))
+        if stats is not None:
+            stats["n_dup_groups"] = n_groups
+            stats["n_dropped_dups"] = n_drops
+            stats["dedup_plan"] = ("hashagg-broadcast" if small
+                                   else "hashagg-shuffle")
+        return out
+    if detect != "window":
+        raise ValueError(f"unknown detect formulation: {detect!r}")
     w = Window.partitionBy("h1", "h2")
-    drops = (raw.select("h1", "h2", "uid")
+    drops = (proj
              .withColumn("_keep", F.min("uid").over(w))
              .withColumn("_n", F.count(F.lit(1)).over(w))
              .filter((F.col("_n") > 1) & (F.col("uid") != F.col("_keep")))
              .select("uid")
              .persist())
+    if cleanup is not None:
+        cleanup.append(drops)
     n_drops = drops.count()
     small = n_drops <= max_broadcast_drops
     right = F.broadcast(drops) if small else drops

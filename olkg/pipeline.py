@@ -237,6 +237,8 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
                       dedup_strategy: str = "auto",
                       dedup_partitions: int | None = None,
                       dedup_postwrite: bool = False,
+                      dedup_detect: str = "hashagg",
+                      keep_raw: bool = True,
                       est_total_rows: int | None = None,
                       est_rows_per_task: float | None = None) -> dict:
     """Single-materialization, SINGLE-EXTRACTION variant.
@@ -273,6 +275,12 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
     coupling is what capped extract-stage scaling at 2.4M pages.
     ``dedup_strategy``/``dedup_partitions`` are ignored in this mode; no
     driver-side sampler runs (the raw table gives exact sizes for free).
+    ``dedup_detect`` picks the duplicate-detection formulation
+    ('hashagg' default / 'window' — see olkg.canonicalize.dedup_from_raw);
+    ``keep_raw=False`` deletes the raw stage table once the deduped edges
+    are written (the raw table is a recovery checkpoint and lineage
+    anchor, but it roughly doubles the output footprint — opt out when
+    the run is measurement-only).
 
     ``est_total_rows``/``est_rows_per_task``: pre-computed sampler outputs
     for dedup_strategy='auto' (see :func:`estimate_extract_size`) — pass
@@ -318,11 +326,17 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
         metrics["stages"]["extract_raw"] = {
             "wall_ms": int((t1 - t0) * 1000)}
         dstats: dict = {}
+        dcleanup: list = []
         obs_direct = Observation("direct_edges")
         direct_edges = dedup_from_raw(
-            read_stage(spark, out_dir, "edges_raw"), stats=dstats).observe(
+            read_stage(spark, out_dir, "edges_raw"), stats=dstats,
+            detect=dedup_detect, cleanup=dcleanup).observe(
             obs_direct, F.count(F.lit(1)).alias("n"))
         write_stage(direct_edges, out_dir, "edges/d=0")
+        for cached in dcleanup:       # detect intermediates are consumed now
+            cached.unpersist()
+        if not keep_raw:
+            fsio.delete(spark, pjoin(out_dir, "edges_raw"))
         n_direct = obs_direct.get["n"]
         metrics["stages"]["dedup_direct"] = {
             "wall_ms": int((time.time() - t1) * 1000), "rows": n_direct,
@@ -499,6 +513,16 @@ def main(argv=None):
                          "narrow map) and dedup as a separate job that "
                          "shuffles only 24-byte hash rows "
                          "(olkg.canonicalize.dedup_from_raw)")
+    ap.add_argument("--dedup-detect", default="hashagg",
+                    choices=["hashagg", "window"],
+                    help="duplicate-detect formulation for "
+                         "--dedup-postwrite: 'hashagg' (sort-free complete "
+                         "aggregate, default) or 'window' (sort-based)")
+    ap.add_argument("--no-keep-raw", action="store_true",
+                    help="delete the edges_raw stage table after the "
+                         "decoupled dedup writes edges (measurement-only "
+                         "runs; raw is otherwise kept as a recovery "
+                         "checkpoint)")
     args = ap.parse_args(argv)
 
     from .session import build_session
@@ -518,7 +542,9 @@ def main(argv=None):
                                     dedup_pages=args.dedup_pages,
                                     dedup_strategy=args.dedup_strategy,
                                     dedup_partitions=args.dedup_partitions,
-                                    dedup_postwrite=args.dedup_postwrite)
+                                    dedup_postwrite=args.dedup_postwrite,
+                                    dedup_detect=args.dedup_detect,
+                                    keep_raw=not args.no_keep_raw)
     else:
         metrics = run_pipeline(spark, args.pages, args.out, lcsh=lcsh,
                                resume=not args.no_resume,

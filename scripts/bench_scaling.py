@@ -58,7 +58,8 @@ def generate_corpus(clones: int, path: str,
     spark.stop()
 
 
-def run_at(cores: int, pages_path: str, dedup_mode: str = "fused") -> dict:
+def run_at(cores: int, pages_path: str, dedup_mode: str = "fused",
+           dedup_detect: str = "hashagg") -> dict:
     out = tempfile.mkdtemp(prefix=f"olkg_scale_{cores}_")
     # fixed moderate heap at every level: on this VM, JVM heaps ≥32g degrade
     # throughput 2-3x (host-side page backing) — and a constant heap also
@@ -81,7 +82,10 @@ def run_at(cores: int, pages_path: str, dedup_mode: str = "fused") -> dict:
            # north_rule: repartition pages by url-hash ahead of extraction
            "--repartition-by-url", str(cores * 2)]
     if dedup_mode == "postwrite":
-        cmd.append("--dedup-postwrite")
+        # measurement-only runs: drop the raw checkpoint after dedup so the
+        # scratch footprint stays ~1x the output
+        cmd += ["--dedup-postwrite", "--dedup-detect", dedup_detect,
+                "--no-keep-raw"]
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
                           cwd=REPO)
@@ -109,6 +113,9 @@ def main():
                          "the legacy one-clique-per-entity corpus")
     ap.add_argument("--out-json", default="scaling.json",
                     help="artifact filename under BENCH/")
+    ap.add_argument("--dedup-detect", default="hashagg",
+                    choices=["hashagg", "window"],
+                    help="detect formulation for --dedup-mode postwrite")
     ap.add_argument("--dedup-mode", default="fused",
                     choices=["fused", "postwrite"],
                     help="'postwrite' decouples dedup from the extract "
@@ -128,11 +135,39 @@ def main():
 
     lo, hi = sorted(args.levels)
     trials: dict[int, list] = {lo: [], hi: []}
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    artifact = os.path.join(REPO, "BENCH", args.out_json)
+
+    def summarize(partial: bool) -> dict:
+        # medians over whatever has completed — written after EVERY trial so
+        # a wall-clock kill never loses the record (the round-4 lesson)
+        med = {c: (statistics.median(r["tps"] for r in trials[c])
+                   if trials[c] else None) for c in (lo, hi)}
+        eff = (round((med[hi] / med[lo]) / (hi / lo), 3)
+               if med[lo] and med[hi] else None)
+        any_t = (trials[hi] or trials[lo] or [{}])[0]
+        return {
+            "clones": args.clones,
+            "cluster_size": cs,
+            "dedup_mode": args.dedup_mode,
+            "dedup_detect": args.dedup_detect,
+            "pages": any_t.get("pages"),
+            "triples": any_t.get("triples"),
+            "levels": [lo, hi],
+            "trials_per_level": args.trials,
+            "partial": partial,
+            f"local{lo}": {"tps_median": med[lo], "trials": trials[lo]},
+            f"local{hi}": {"tps_median": med[hi], "trials": trials[hi]},
+            "scaling_efficiency": eff,
+            "gate": bool(eff and eff >= 0.8),
+        }
+
     for i in range(args.trials):
         for cores in (lo, hi):  # interleave levels against host drift
             print(f"trial {i + 1}/{args.trials}: local[{cores}] ...",
                   flush=True)
-            m = run_at(cores, pages_path, dedup_mode=args.dedup_mode)
+            m = run_at(cores, pages_path, dedup_mode=args.dedup_mode,
+                       dedup_detect=args.dedup_detect)
             rec = {"wall_s": m["wall_s"], "triples": m["triples"],
                    "pages": m["pages"],
                    "tps": round(m["triples"] / m["wall_s"], 1),
@@ -140,25 +175,12 @@ def main():
                    "stages": m["stages"]}
             trials[cores].append(rec)
             print(json.dumps(rec), flush=True)
+            with open(artifact, "w") as f:
+                json.dump(summarize(partial=True), f, indent=2)
 
-    med = {c: statistics.median(r["tps"] for r in trials[c])
-           for c in (lo, hi)}
-    eff = (med[hi] / med[lo]) / (hi / lo)
-    summary = {
-        "clones": args.clones,
-        "cluster_size": cs,
-        "dedup_mode": args.dedup_mode,
-        "pages": trials[hi][0]["pages"],
-        "triples": trials[hi][0]["triples"],
-        "levels": [lo, hi],
-        "trials_per_level": args.trials,
-        f"local{lo}": {"tps_median": med[lo], "trials": trials[lo]},
-        f"local{hi}": {"tps_median": med[hi], "trials": trials[hi]},
-        "scaling_efficiency": round(eff, 3),
-        "gate": eff >= 0.8,
-    }
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", args.out_json), "w") as f:
+    summary = summarize(partial=False)
+    del summary["partial"]
+    with open(artifact, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({k: summary[k] for k in
                       ("pages", "triples", "levels", "scaling_efficiency",

@@ -6,9 +6,14 @@ job's phases on a synthetic raw table of the same shape (59M rows, 14%
 dups — derived from the shuffle-control generator output, so no Python
 extraction in the loop):
 
-  detect   — narrow (h1, h2, uid) scan + window → drop set, persist+count
-  remove   — broadcast anti-join + parquet write of survivors
-  fallback — repartition(h1, h2) + dropDuplicates (the shuffled plan)
+  window   — dedup_from_raw(detect='window'): sort-based window detect
+             (persist+count = detect_s), then broadcast anti-join write
+             (remove_s)
+  hashagg  — dedup_from_raw(detect='hashagg'): repartition + complete
+             hash aggregate detect (sort-free), then broadcast group
+             join-back write
+  fallback — repartition(h1, h2) + dropDuplicates (the full-row shuffled
+             plan, for reference)
 
 Usage: python scripts/probe_dedup_phases.py --cores 8 [--phases ...]
 Each invocation is one fresh JVM (run one phase set per process to keep
@@ -49,7 +54,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--phases", nargs="+",
-                    default=["detect", "remove", "fallback"])
+                    default=["window", "hashagg", "fallback"])
     ap.add_argument("--gen-only", action="store_true")
     args = ap.parse_args()
     ensure_raw()
@@ -57,8 +62,8 @@ def main() -> None:
         return
 
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
+    from olkg.canonicalize import dedup_from_raw
     from olkg.session import build_session
     spark = build_session(app_name=f"probe-dedup-{args.cores}",
                           master=f"local[{args.cores}]",
@@ -67,29 +72,25 @@ def main() -> None:
     raw = spark.read.parquet(SRC)
     cols = ["subj", "pred", "obj", "obj_kind", "obj_datatype"]
 
-    drops = None
-    if "detect" in args.phases or "remove" in args.phases:
-        w = Window.partitionBy("h1", "h2")
+    for detect in ("window", "hashagg"):
+        if detect not in args.phases:
+            continue
+        stats: dict = {}
+        cleanup: list = []
         t0 = time.time()
-        drops = (raw.select("h1", "h2", "uid")
-                 .withColumn("_keep", F.min("uid").over(w))
-                 .withColumn("_n", F.count(F.lit(1)).over(w))
-                 .filter((F.col("_n") > 1) & (F.col("uid") != F.col("_keep")))
-                 .select("uid")
-                 .persist())
-        n = drops.count()
-        print(json.dumps({"phase": "detect", "cores": args.cores,
-                          "wall_s": round(time.time() - t0, 1),
-                          "n_drops": n}), flush=True)
-
-    if "remove" in args.phases:
+        deduped = dedup_from_raw(raw, stats=stats, detect=detect,
+                                 cleanup=cleanup)
+        detect_s = time.time() - t0          # census action runs inside
         out = tempfile.mkdtemp(prefix="olkg_probe_rm_")
-        t0 = time.time()
-        (raw.join(F.broadcast(drops), "uid", "left_anti").select(*cols)
-         .write.mode("overwrite").parquet(out))
-        print(json.dumps({"phase": "remove", "cores": args.cores,
-                          "wall_s": round(time.time() - t0, 1)}), flush=True)
+        t1 = time.time()
+        deduped.write.mode("overwrite").parquet(out)
+        print(json.dumps({"phase": detect, "cores": args.cores,
+                          "detect_s": round(detect_s, 1),
+                          "remove_s": round(time.time() - t1, 1),
+                          **stats}), flush=True)
         shutil.rmtree(out, ignore_errors=True)
+        for cached in cleanup:
+            cached.unpersist()
 
     if "fallback" in args.phases:
         out = tempfile.mkdtemp(prefix="olkg_probe_fb_")

@@ -383,14 +383,22 @@ def test_dedup_from_raw_exact_and_plans(spark):
     raw = with_dedup_write_cols(stream)
     want = set(map(tuple, stream.dropDuplicates().collect()))
 
-    for max_bc in (1 << 30, 0):          # broadcast plan, then shuffle plan
-        stats = {}
-        got = dedup_from_raw(raw, max_broadcast_drops=max_bc, stats=stats)
-        got_set = list(map(tuple, got.collect()))
-        assert len(got_set) == len(want) and set(got_set) == want
-        assert stats["n_dropped_dups"] == 5 + 2
-        assert stats["dedup_plan"] == ("hashdrop-broadcast" if max_bc
-                                       else "hashdrop-shuffle")
+    for detect, bc_plan, sh_plan in (
+            ("hashagg", "hashagg-broadcast", "hashagg-shuffle"),
+            ("window", "hashdrop-broadcast", "hashdrop-shuffle")):
+        for max_bc in (1 << 30, 0):      # broadcast plan, then shuffle plan
+            stats, cleanup = {}, []
+            got = dedup_from_raw(raw, max_broadcast_drops=max_bc,
+                                 stats=stats, detect=detect, cleanup=cleanup)
+            got_set = list(map(tuple, got.collect()))
+            assert len(got_set) == len(want) and set(got_set) == want
+            assert stats["n_dropped_dups"] == 5 + 2
+            assert stats["dedup_plan"] == (bc_plan if max_bc else sh_plan)
+            if detect == "hashagg":
+                assert stats["n_dup_groups"] == 2
+            assert len(cleanup) == 1     # the detect intermediate, on record
+            for cached in cleanup:
+                cached.unpersist()
 
     # columnar pruning evidence on a real parquet-backed raw table
     import contextlib, io, tempfile
@@ -435,7 +443,7 @@ def test_fast_pipeline_postwrite_dedup(spark, corpus, tmp_path_factory):
     assert metrics["text_mismatches"] == 0
     assert "extract_raw" in metrics["stages"]
     assert metrics["stages"]["dedup_direct"]["dedup_plan"] == \
-        "hashdrop-broadcast"
+        "hashagg-broadcast"
     # the raw stage table is kept (stage lineage); its row count equals
     # deduped rows + detected drops — the decomposition is exact
     raw = spark.read.parquet(out + "/edges_raw")
