@@ -241,20 +241,31 @@ def ensure_ivf_materialized(spark, sf_dir: str) -> str:
     scratch = path + ".tmp." + uuid.uuid4().hex[:8]
     ivf_materialize(emb, cents, scratch)
     import shutil
-    try:
-        os.rename(scratch, path)
-    except OSError:
-        if os.path.isdir(os.path.join(path, "_ids")):
-            # a concurrent run renamed first — use its complete layout
-            shutil.rmtree(scratch, ignore_errors=True)
-        else:
-            # a STALE layout (older code version, no _ids index) occupies
-            # the target: swap it out for the fresh one
-            trash = path + ".stale." + uuid.uuid4().hex[:8]
-            os.rename(path, trash)
+    # swap loop: each pass either installs our complete scratch, adopts a
+    # complete layout a concurrent run installed, or evicts ONE stale
+    # occupant — every rename can race another run, so losses are retried
+    # rather than assumed impossible (two runs that both saw a stale
+    # layout both reach the eviction rename; the loser must re-validate,
+    # not crash)
+    while True:
+        try:
             os.rename(scratch, path)
-            shutil.rmtree(trash, ignore_errors=True)
-    return path
+            return path
+        except OSError:
+            pass                      # target occupied — examine it
+        if (os.path.exists(os.path.join(path, "_SUCCESS"))
+                and os.path.isdir(os.path.join(path, "_ids"))):
+            # a concurrent run renamed a complete layout first — use it
+            shutil.rmtree(scratch, ignore_errors=True)
+            return path
+        # a STALE layout (older code version, no _ids index) occupies the
+        # target: move it aside, then loop to re-attempt our install
+        trash = path + ".stale." + uuid.uuid4().hex[:8]
+        try:
+            os.rename(path, trash)
+        except OSError:
+            continue                  # lost the eviction race — re-validate
+        shutil.rmtree(trash, ignore_errors=True)
 
 
 def q_ann_ivf_materialized(spark, sf_dir):

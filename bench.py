@@ -140,23 +140,38 @@ def main() -> None:
     # --- corpus ops on the sf tables ---------------------------------------
     import __spark_entry__ as entry
 
-    bench_queries = [
+    # cheap queries (sub-second, job-overhead-dominated): single shot.
+    # HEAVY queries (the ≥2 s ones — where round-over-round drift was
+    # undecidable between host noise and real regression on single shots)
+    # run n_trials times INTERLEAVED across query names, median reported,
+    # every trial on record — the same protocol as the pipelines.
+    light_queries = [
         "doc_dedup_exact", "doc_fingerprints", "doc_token_counts",
-        "doc_quality", "doc_lang_id", "doc_ngram_jaccard", "doc_minhash_lsh",
-        "doc_simhash_pairs", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-        "ann_ivf_materialized", "doc_embedding_neardup",
-        "multimodal_features", "events_hourly", "events_sessions", "agg_pricing_summary",
-        "join_revenue_by_nation",
+        "doc_quality", "doc_lang_id", "multimodal_features", "events_hourly",
+        "events_sessions", "agg_pricing_summary", "join_revenue_by_nation",
+    ]
+    heavy_queries = [
+        "doc_ngram_jaccard", "doc_minhash_lsh", "doc_simhash_pairs",
+        "doc_embedding_neardup", "ann_cosine_topk", "ann_lsh_topk",
+        "ann_ivf_topk", "ann_ivf_materialized",
     ]
     # the IVF layout build is the OFFLINE step — materialize untimed so the
     # timed ann_ivf_materialized entry measures the query read path (the
     # cost a serving query actually pays), comparable to ann_ivf_topk
     entry.ensure_ivf_materialized(spark, SF_DIR)
     qmap = entry.queries()
-    for name in bench_queries:
+    for name in light_queries:
         t0 = time.time()
         qmap[name](spark, SF_DIR).count()
         queries[name] = round(time.time() - t0, 3)
+    corpus_trials: dict[str, list[float]] = {n: [] for n in heavy_queries}
+    for _ in range(n_trials):
+        for name in heavy_queries:   # interleaved: drift hits all equally
+            t0 = time.time()
+            qmap[name](spark, SF_DIR).count()
+            corpus_trials[name].append(round(time.time() - t0, 3))
+    for name, ts in corpus_trials.items():
+        queries[name] = round(statistics.median(ts), 3)
 
     total = round(time.time() - t_total, 3)
     result = {
@@ -165,6 +180,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "pipeline_trials": trials,   # per-trial record behind the medians
+        "corpus_trials": corpus_trials,
         "sf": sf,
         "kg_pages": m["pages"],
         "kg_triples": m["triples"],

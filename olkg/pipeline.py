@@ -37,8 +37,23 @@ def run_pipeline(spark: SparkSession, pages_path: str, out_dir: str,
                  num_salts: int = 16,
                  repartition_by_url: int | None = None,
                  with_canonical_map: bool = True,
-                 export_nt: bool = True) -> dict:
-    """Returns a metrics dict (stage wall times, row counts, triples/sec)."""
+                 export_nt: bool = True,
+                 dedup_postwrite: bool = False,
+                 dedup_detect: str = "hashagg") -> dict:
+    """Returns a metrics dict (stage wall times, row counts, triples/sec).
+
+    ``dedup_postwrite``: the durable path's ``linked`` checkpoint is
+    already a materialized table — i.e. the RAW table the decoupled dedup
+    wants — so with this flag the link stage's write projection adds the
+    dedup hash/uid columns (24 bytes/row, JVM-side) and the edges stage
+    becomes :func:`olkg.canonicalize.dedup_from_raw` over the checkpoint:
+    the big mostly-unique triple stream is never fully shuffled (narrow
+    hash-column detect + broadcast join-back), the scaling-safe shape a
+    real 10^12-page run — which uses THIS resumable path — needs.  A
+    resume over a ``linked`` checkpoint written WITHOUT the hash columns
+    (a fused-mode run) falls back to the fused dedup and says so in
+    ``metrics['stages']['canonicalize']['dedup_plan']`` — never a silent
+    re-extract, never a wrong answer."""
     fsio.mkdirs(spark, out_dir)
     run_id = uuid.uuid4().hex[:12]
     metrics: dict = {"run_id": run_id, "stages": {}}
@@ -68,6 +83,9 @@ def run_pipeline(spark: SparkSession, pages_path: str, out_dir: str,
         t0 = time.time()
         linked = link_stage(extract_df, lcsh, hot_threshold=hot_threshold,
                             num_salts=num_salts)
+        if dedup_postwrite:
+            from .canonicalize import with_dedup_write_cols
+            linked = with_dedup_write_cols(linked)
         write_stage(linked, out_dir, "linked")
         wall = int((time.time() - t0) * 1000)
         append_lineage(spark, out_dir, run_id, "linked",
@@ -81,23 +99,41 @@ def run_pipeline(spark: SparkSession, pages_path: str, out_dir: str,
         metrics["stages"]["canonicalize"] = {"skipped": True}
     else:
         t0 = time.time()
-        # the linked checkpoint is already materialized, so 'auto' dedup can
-        # size itself from EXACT numbers: a metadata-only parquet count and
-        # the scan's task count (bytes / maxPartitionBytes)
-        n_linked = linked.count()
-        fs, p = fsio._hadoop_fs(spark, pjoin(out_dir, "linked"))
-        linked_bytes = fs.getContentSummary(p).getLength()
-        maxpb = _parse_size_bytes(spark.conf.get(
-            "spark.sql.files.maxPartitionBytes", "134217728"))
-        n_tasks = max(1, -(-linked_bytes // maxpb))
-        edges = dedup_edges(linked, strategy="auto",
-                            est_total_rows=n_linked,
-                            est_rows_per_task=n_linked / n_tasks)
+        dstats: dict = {}
+        dcleanup: list = []
+        if dedup_postwrite and {"h1", "h2", "uid"} <= set(linked.columns):
+            # decoupled dedup over the linked checkpoint (see docstring)
+            from .canonicalize import dedup_from_raw
+            edges = dedup_from_raw(linked, stats=dstats,
+                                   detect=dedup_detect, cleanup=dcleanup)
+        else:
+            if dedup_postwrite:
+                # resumed over a fused-mode linked checkpoint (no hash
+                # cols): recomputing uids across the detect/remove jobs
+                # would not be re-scan-stable, so dedup fused — on record
+                dstats["dedup_plan"] = "fused-fallback(no-hash-cols)"
+            # the linked checkpoint is already materialized, so 'auto'
+            # dedup can size itself from EXACT numbers: a metadata-only
+            # parquet count and the scan's task count
+            # (bytes / maxPartitionBytes)
+            n_linked = linked.count()
+            fs, p = fsio._hadoop_fs(spark, pjoin(out_dir, "linked"))
+            linked_bytes = fs.getContentSummary(p).getLength()
+            maxpb = _parse_size_bytes(spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"))
+            n_tasks = max(1, -(-linked_bytes // maxpb))
+            from .canonicalize import _EDGE_COLS
+            edges = dedup_edges(linked.select(*_EDGE_COLS),
+                                strategy="auto",
+                                est_total_rows=n_linked,
+                                est_rows_per_task=n_linked / n_tasks)
         write_stage(edges, out_dir, "edges")
+        for cached in dcleanup:
+            cached.unpersist()
         wall = int((time.time() - t0) * 1000)
         append_lineage(spark, out_dir, run_id, "edges",
                        read_stage(spark, out_dir, "edges"), wall)
-        metrics["stages"]["canonicalize"] = {"wall_ms": wall}
+        metrics["stages"]["canonicalize"] = {"wall_ms": wall, **dstats}
 
     edges = read_stage(spark, out_dir, "edges")
 
@@ -509,9 +545,11 @@ def main(argv=None):
                     help="partition count for --dedup-strategy prepartition "
                          "(size to ~1M rows each)")
     ap.add_argument("--dedup-postwrite", action="store_true",
-                    help="fast mode: write the extract stream raw (pure "
-                         "narrow map) and dedup as a separate job that "
-                         "shuffles only 24-byte hash rows "
+                    help="decouple dedup from the big stream: fast mode "
+                         "writes the extract stream raw (pure narrow map) "
+                         "and dedups as a separate job; durable mode "
+                         "annotates the linked checkpoint and dedups from "
+                         "it — either way only 24-byte hash rows shuffle "
                          "(olkg.canonicalize.dedup_from_raw)")
     ap.add_argument("--dedup-detect", default="hashagg",
                     choices=["hashagg", "window"],
@@ -550,7 +588,9 @@ def main(argv=None):
                                resume=not args.no_resume,
                                hot_threshold=args.hot_threshold,
                                num_salts=args.num_salts,
-                               repartition_by_url=args.repartition_by_url)
+                               repartition_by_url=args.repartition_by_url,
+                               dedup_postwrite=args.dedup_postwrite,
+                               dedup_detect=args.dedup_detect)
     print(json.dumps(metrics))
     spark.stop()
 

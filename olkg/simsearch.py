@@ -300,29 +300,60 @@ def ivf_topk_materialized(spark, corpus_path: str, centroids: DataFrame,
 
     The probed-cell list (≤ |queries|·nprobe ints) is collected to the
     driver to become a partition-pruning predicate — that is the point of
-    the layout, not a driver-side compute loop."""
+    the layout, not a driver-side compute loop.  The by-id path pays
+    exactly TWO driver round-trips before the scoring job: the ``_ids``
+    lookup, then one combined job that reads the queries' home cells and
+    carries each query vector THROUGH the probe-selection window — so the
+    (query vector, probed cell) pairs come back in a single collect and the
+    scoring job joins them as local relations instead of re-reading the
+    corpus for the query side."""
+    if queries is None and query_ids is None:
+        raise ValueError(
+            "ivf_topk_materialized: pass query_ids or a queries DataFrame")
+    from pyspark.sql import types as T
     corpus = spark.read.parquet(corpus_path)
-    if queries is not None:
-        q = queries.select(F.col(id_col).alias("query_id"),
-                           F.col(vec_col).alias("qv"))
-    else:
-        idx = spark.read.parquet(corpus_path + "/_ids")
-        qcells = [r.cell for r in (idx.filter(F.col("id").isin(query_ids))
-                                   .select("cell").distinct().collect())]
-        q = (corpus.filter(F.col("cell").isin(qcells))
-             .filter(F.col(id_col).isin(query_ids))
-             .select(F.col(id_col).alias("query_id"),
-                     F.col(vec_col).alias("qv")))
-    qc = q.crossJoin(F.broadcast(centroids.select("centroid_id", "c")))
+    qc_cols = F.broadcast(centroids.select("centroid_id", "c"))
     qcos = (_dot(F.col("qv"), F.col("c")) /
             (_norm(F.col("qv")) * _norm(F.col("c"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("qcos").desc(), F.col("centroid_id"))
-    probes = (qc.select("query_id", "centroid_id", qcos.alias("qcos"))
-              .withColumn("r", F.row_number().over(w))
-              .filter(F.col("r") <= nprobe)
-              .select("query_id", F.col("centroid_id").alias("cell")))
-    probe_cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    if queries is not None:
+        q = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qv"))
+        probes = (q.crossJoin(qc_cols)
+                  .select("query_id", "centroid_id", qcos.alias("qcos"))
+                  .withColumn("r", F.row_number().over(w))
+                  .filter(F.col("r") <= nprobe)
+                  .select("query_id", F.col("centroid_id").alias("cell")))
+        probe_cells = [r.cell
+                       for r in probes.select("cell").distinct().collect()]
+    else:
+        idx = spark.read.parquet(corpus_path + "/_ids")
+        qcells = [r.cell for r in (idx.filter(F.col("id").isin(query_ids))
+                                   .select("cell").distinct().collect())]
+        qv_src = (corpus.filter(F.col("cell").isin(qcells))
+                  .filter(F.col(id_col).isin(query_ids))
+                  .select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("qv")))
+        picked = (qv_src.crossJoin(qc_cols)
+                  .select("query_id", "qv", "centroid_id",
+                          qcos.alias("qcos"))
+                  .withColumn("r", F.row_number().over(w))
+                  .filter(F.col("r") <= nprobe)
+                  .select("query_id", "qv", "centroid_id")
+                  .collect())
+        id_f = qv_src.schema["query_id"]
+        vec_f = qv_src.schema["qv"]
+        cell_t = centroids.schema["centroid_id"].dataType
+        probe_cells = sorted({r.centroid_id for r in picked})
+        probes = spark.createDataFrame(
+            [(r.query_id, r.centroid_id) for r in picked],
+            T.StructType([id_f, T.StructField("cell", cell_t)]))
+        qvecs: dict = {}
+        for r in picked:
+            qvecs.setdefault(r.query_id, r.qv)
+        q = spark.createDataFrame(list(qvecs.items()),
+                                  T.StructType([id_f, vec_f]))
 
     pruned = corpus.filter(F.col("cell").isin(probe_cells))
     cand = (pruned.join(F.broadcast(probes), "cell")

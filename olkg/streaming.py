@@ -121,9 +121,6 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
             yield pd.DataFrame([(user_id, st, en, n, s)], columns=cols)
             return
 
-        cur = list(state.get) if state.exists else None
-        closed = []
-        pre = []   # late events wholly before the open session, in ts order
         # One global sort over the whole micro-batch: pdf_iter may deliver
         # several Arrow chunks, and sorting each independently would process
         # events out of time order (diverging from the batch twin,
@@ -131,49 +128,36 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
         chunks = list(pdf_iter)
         batch = (pd.concat(chunks, ignore_index=True).sort_values("ts")
                  if chunks else pd.DataFrame(columns=["ts", "value"]))
-        for ts, val in zip(batch["ts"], batch["value"]):
-            if cur is None:
-                cur = [ts, ts, 1, float(val)]
-            elif (ts - cur[1]).total_seconds() * 1000 > gap_ms:
-                # gap after the open session: close it, start a new one
-                closed.append((user_id, *cur))
-                cur = [ts, ts, 1, float(val)]
-            elif (cur[0] - ts).total_seconds() * 1000 > gap_ms:
-                # late event wholly BEFORE the open session (gap on the
-                # other side): buffer it — several such events may be
-                # within gap of EACH OTHER and must merge into one earlier
-                # session (as the batch twin would), not one singleton each
-                pre.append((ts, float(val)))
+        # ONE interval-merge pass over the open state session (a
+        # first-class interval — its span is internally gap-consistent by
+        # construction) plus every batch event (a point interval), sorted
+        # by start.  Two adjacent items merge when the later one starts
+        # within gap of the earlier group's end — exactly the batch twin's
+        # global sort + gap rule, with no branch ordering to get wrong: a
+        # previous formulation that classified events against the open
+        # session one at a time emitted buffered pre-session groups
+        # without reconciling them against a session being closed in the
+        # SAME batch (late chain {45,72} + closer 200 against open
+        # [100,100] split [45..100] into [45,45] + [72,100]).
+        items = []
+        if state.exists:
+            st, en, n, s = state.get
+            items.append([st, en, n, float(s)])
+        items.extend([ts, ts, 1, float(val)]
+                     for ts, val in zip(batch["ts"], batch["value"]))
+        items.sort(key=lambda it: (it[0], it[1]))
+        sessions = []
+        for it in items:
+            if (sessions and (it[0] - sessions[-1][1]).total_seconds()
+                    * 1000 <= gap_ms):
+                g = sessions[-1]
+                g[1] = max(g[1], it[1])
+                g[2] += it[2]
+                g[3] += it[3]
             else:
-                # in-gap event (possibly late/out-of-order across batches):
-                # merge without ever regressing the session bounds
-                cur[0] = min(cur[0], ts)
-                cur[1] = max(cur[1], ts)
-                cur[2] += 1
-                cur[3] += float(val)
-        # gap-group the buffered pre-session events (ascending: the batch
-        # is globally sorted, so pre preserves ts order).  The LAST group
-        # may end within gap of the FINAL open-session start — an in-gap
-        # merge above can pull cur[0] earlier than it was when these
-        # events were classified — in which case it belongs to the open
-        # session, not to its own closed one.  Only the last group can
-        # qualify: earlier groups are separated from it by > gap.
-        groups = []
-        for ts, val in pre:
-            if groups and (ts - groups[-1][1]).total_seconds() * 1000 <= gap_ms:
-                g = groups[-1]
-                g[1] = ts
-                g[2] += 1
-                g[3] += val
-            else:
-                groups.append([ts, ts, 1, val])
-        if (groups and cur is not None
-                and (cur[0] - groups[-1][1]).total_seconds() * 1000 <= gap_ms):
-            g = groups.pop()
-            cur[0] = min(cur[0], g[0])
-            cur[2] += g[2]
-            cur[3] += g[3]
-        closed.extend((user_id, *g) for g in groups)
+                sessions.append(it)
+        closed = [(user_id, *g) for g in sessions[:-1]]
+        cur = sessions[-1] if sessions else None
         if cur is not None:
             state.update(tuple(cur))
             # close the trailing session when the watermark passes its gap

@@ -209,6 +209,11 @@ def test_ivf_materialized_query_lookup_prunes_and_queries_df(spark, tmp_path):
     for b in scans:
         pf = [ln for ln in b.splitlines() if "PartitionFilters" in ln]
         assert pf and any("cell" in ln for ln in pf), b
+    # round-5 tightening: the by-id SCORING plan reads the corpus exactly
+    # once (the pruned candidate scan) — the query vectors and probe pairs
+    # come back from the single combined probe-selection collect as local
+    # relations, not a second corpus read
+    assert len(scans) == 1, plan
 
     # explicit-queries path: same results, corpus untouched for the lookup
     queries = emb.filter(F.col("vec_id").isin(qids))

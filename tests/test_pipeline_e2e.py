@@ -200,6 +200,87 @@ def test_fast_pipeline_dedup_pages(spark, corpus, tmp_path_factory):
     assert metrics["pages"] == len(corpus)  # 3x input deduped to 1x
 
 
+def test_fast_pipeline_dedup_pages_with_postwrite(spark, corpus,
+                                                  tmp_path_factory):
+    """A real crawl run wants BOTH page dedup (duplicate pages never pay
+    extraction) and the decoupled post-write edge dedup — composed, the
+    output is still golden-identical and duplicate-free."""
+    from olkg.pipeline import run_pipeline_fast
+    out = str(tmp_path_factory.mktemp("olkg_dp_pw_out"))
+    pages_path = str(tmp_path_factory.mktemp("pages_dp_pw")) + "/pages.parquet"
+    dup = build_pages_df(spark, corpus)
+    dup.union(dup).union(dup).write.mode("overwrite").parquet(pages_path)
+    lcsh = spark.createDataFrame(LCSH_ROWS, LCSH_SCHEMA)
+    metrics = run_pipeline_fast(spark, pages_path, out, lcsh=lcsh,
+                                hot_threshold=100, num_salts=4,
+                                dedup_pages=True, dedup_postwrite=True,
+                                keep_raw=False)
+    edges = spark.read.parquet(out + "/edges")
+    result = edges_set(spark, out)
+    assert edges.count() == len(result), "edges table contains duplicates"
+    golden = golden_triples(corpus, dict(LCSH_ROWS))
+    p, r = precision_recall(result, golden)
+    assert p == 1.0 and r == 1.0
+    assert metrics["pages"] == len(corpus)      # 3x input deduped to 1x
+    assert metrics["stages"]["dedup_direct"]["dedup_plan"].startswith("hashagg")
+    import os
+    assert not os.path.exists(out + "/edges_raw")   # keep_raw=False cleans up
+
+
+def test_durable_pipeline_postwrite_dedup(spark, corpus, tmp_path_factory):
+    """run_pipeline(dedup_postwrite=True): the linked checkpoint carries the
+    dedup hash/uid columns, the edges stage runs the decoupled
+    dedup_from_raw over it (plan on record), output golden-identical and
+    duplicate-free; a resume that drops edges+nodes reuses the annotated
+    linked checkpoint across the new stage boundary; and a postwrite
+    resume over a FUSED-mode linked checkpoint (no hash cols) falls back
+    to the fused dedup, recorded, same answer."""
+    out = str(tmp_path_factory.mktemp("olkg_dur_pw_out"))
+    pages_path = str(tmp_path_factory.mktemp("pages_dur_pw")) + "/pages.parquet"
+    build_pages_df(spark, corpus).write.mode("overwrite").parquet(pages_path)
+    lcsh = spark.createDataFrame(LCSH_ROWS, LCSH_SCHEMA)
+    metrics = run_pipeline(spark, pages_path, out, lcsh=lcsh, resume=True,
+                           hot_threshold=100, num_salts=4,
+                           dedup_postwrite=True)
+    linked = spark.read.parquet(out + "/linked")
+    assert {"h1", "h2", "uid"} <= set(linked.columns)
+    edges = spark.read.parquet(out + "/edges")
+    assert set(edges.columns) == {"subj", "pred", "obj", "obj_kind",
+                                  "obj_datatype"}
+    result = edges_set(spark, out)
+    assert edges.count() == len(result), "edges table contains duplicates"
+    golden = golden_triples(corpus, dict(LCSH_ROWS))
+    p, r = precision_recall(result, golden)
+    assert p == 1.0 and r == 1.0
+    assert metrics["stages"]["canonicalize"]["dedup_plan"].startswith("hashagg")
+
+    # resume across the new boundary: linked (with hash cols) is reused,
+    # edges recomputed via the decoupled path, identical output
+    shutil.rmtree(out + "/edges")
+    shutil.rmtree(out + "/nodes")
+    m2 = run_pipeline(spark, pages_path, out, lcsh=lcsh, resume=True,
+                      hot_threshold=100, num_salts=4, dedup_postwrite=True)
+    assert m2["stages"]["extract"] == {"skipped": True}
+    assert m2["stages"]["link"] == {"skipped": True}
+    assert m2["stages"]["canonicalize"]["dedup_plan"].startswith("hashagg")
+    assert edges_set(spark, out) == result
+
+    # fused-mode checkpoint + postwrite resume → recorded fallback
+    out2 = str(tmp_path_factory.mktemp("olkg_dur_fb_out"))
+    run_pipeline(spark, pages_path, out2, lcsh=lcsh, resume=True,
+                 hot_threshold=100, num_salts=4, with_canonical_map=False,
+                 export_nt=False)
+    shutil.rmtree(out2 + "/edges")
+    shutil.rmtree(out2 + "/nodes")
+    m3 = run_pipeline(spark, pages_path, out2, lcsh=lcsh, resume=True,
+                      hot_threshold=100, num_salts=4,
+                      with_canonical_map=False, export_nt=False,
+                      dedup_postwrite=True)
+    assert (m3["stages"]["canonicalize"]["dedup_plan"]
+            == "fused-fallback(no-hash-cols)")
+    assert edges_set(spark, out2) == result
+
+
 def test_direct_join_born_disjointness(spark, corpus):
     """The fast mode's two-write dedup decomposition is sound iff no
     NON-collision direct triple carries a join-born predicate signature;

@@ -263,3 +263,39 @@ def test_stream_sessionize_pre_session_late_events_merge(spark, tmp_path):
     got2 = {(r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
             for r in spark.read.parquet(out).collect()}
     assert (2, t0 + m(minutes=45), t0 + m(minutes=100), 3, 7.0) in got2, got2
+
+
+def test_stream_sessionize_pre_group_merges_into_session_closed_same_batch(
+        spark, tmp_path):
+    """A late chain AND the event that gaps the open session out arrive in
+    the SAME micro-batch (gap 30, watermark 120): open [t0+100]; batch
+    {t0+45, t0+72, t0+200}.  45 chains to 72 chains to 100, so the closed
+    session is [t0+45, t0+100] with all three events — the late group must
+    reconcile against the session being CLOSED in this batch, not only
+    against the final open one (a per-event classification emitted
+    [45,45] + [72,100] here)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    m = dt.timedelta
+    in_dir = tmp_path / "sbc_in"
+    in_dir.mkdir()
+    out, ck = str(tmp_path / "sbc_out"), str(tmp_path / "sbc_ck")
+
+    def write(name, rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).write.parquet(str(in_dir / name))
+
+    write("a.parquet", [(1, t0 + m(minutes=100), 1.0)])
+    _run_sessionize(spark, in_dir, out, ck, gap_minutes=30,
+                    watermark_minutes=120)
+    write("b.parquet", [(1, t0 + m(minutes=45), 2.0),
+                        (1, t0 + m(minutes=72), 4.0),
+                        (1, t0 + m(minutes=200), 8.0)])
+    _run_sessionize(spark, in_dir, out, ck, gap_minutes=30,
+                    watermark_minutes=120)
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+           for r in spark.read.parquet(out).collect()}
+    assert (1, t0 + m(minutes=45), t0 + m(minutes=100), 3, 7.0) in got, got
+    assert len(got) == 1, got      # no [45,45] / [72,100] split
