@@ -224,3 +224,7 @@ def test_ivf_materialized_query_lookup_prunes_and_queries_df(spark, tmp_path):
                          for r in df.collect()}
     assert as_set(got) == as_set(got_q) == as_set(want)
     assert len(as_set(got)) > 0
+
+    # misuse is an explicit error, not an empty result
+    with pytest.raises(ValueError, match="query_ids or a queries"):
+        ivf_topk_materialized(spark, path, cents, k=5, nprobe=2)
