@@ -1,8 +1,10 @@
 """Summarize an interrupted bench_scaling run from its log.
 
-bench_scaling.py writes BENCH/<out-json> only at the very end; when a run
-must stop early (wall-clock budget), this recovers the summary from the
-per-trial JSON lines it already printed.  Usage:
+Since round 5 bench_scaling.py writes BENCH/<out-json> incrementally after
+every trial (with "partial": true until the run completes), so a killed run
+keeps its own artifact; this tool remains for recovering a summary from a
+LOG when only stdout survived (e.g. a run of the pre-round-5 harness).
+Usage:
 
     python scripts/summarize_scaling.py /tmp/scaling_2x.log \
         --levels 2 8 --clones 80000 --cluster-size 5 --out scaling_2x.json
