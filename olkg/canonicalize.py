@@ -294,46 +294,76 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
                          cc_stats: dict | None = None) -> DataFrame:
     """Hash-min label propagation over the bipartite (entity, block_key)
     graph.  Returns (entity, canonical_id) for every entity that has at least
-    one *merge-capable* block key (df ≥ 2); singleton-key entities are their
-    own canonical id and are omitted (identity).
+    one *merge-capable* block key (df >= 2); singleton-key entities are their
+    own canonical id and are omitted (identity).  canonical_id is the
+    lexicographic MIN entity URI of the component (restored after the loop,
+    so it is independent of the loop's internal label encoding).
 
-    The state is the labeled pair list (entity, block_key, label); each
-    iteration is TWO key-partitioned window aggregations — min-over-block
-    then min-over-entity — and ONE census action (persist + count, with
-    the changed-row count piggybacked via ``observe``, so no separate
-    convergence job).  Identifier blocks are stars, so 2-3 iterations in
-    practice; a POINTER-JUMP step (label ← label-of-label, one self-join
-    of the labeled pairs) compresses long chains in O(log diameter)
-    rounds — without it a chain longer than ``max_iter`` hops (e.g.
-    band-collision-chained fuzzy blocks) would silently stop short of
-    convergence.  The jump costs a persist + self-join per iteration, so
-    it is GATED on observed progress: star blocks collapse geometrically
-    (the changed-row census drops ≥4× round over round and hits 0 by
-    round 3) and never pay it; a roughly-flat changed count — the
-    signature of O(diameter) hop-at-a-time propagation through a chain —
-    engages it from iteration 3.  Past ``max_iter // 2`` it engages
-    unconditionally as a convergence backstop.  Once on, it stays on
-    (jump progress is bursty; re-gating on it would oscillate).
+    Scale shape (round 5; the 2.4M-page gate showed this stage dominating):
 
-    Lineage is truncated every ``truncate_every`` iterations: via reliable
-    ``checkpoint`` into ``reliable_dir`` when given (the durable path — an
-    executor loss on a real cluster recovers from distributed storage), else
-    ``localCheckpoint`` (fast path; re-derivable state)."""
+    - the loop state is 128-BIT HASH-ENCODED: entities and block keys become
+      (xxhash64(x), xxhash64(7, x)) structs once, so every iteration sorts
+      and shuffles 16-byte fixed-width labels instead of URI strings (~5x
+      less payload at web scale; false-merge P ~ n^2/2^128 ~ 1e-15 at 10^12
+      entities, the same stated bound as dedup_from_raw's row digest);
+    - each iteration is TWO key-partitioned window aggregations -- min-over-
+      block then min-over-entity -- with the changed-row census piggybacked
+      via ``observe`` on the SAME action (no separate convergence job);
+    - the graph is CONTRACTED once the census shows most rows stable (and
+      unconditionally after iteration 0, which computes the 2-hop min and
+      therefore already clusters): one row per (label, block) with
+      each current label becoming a pseudo-entity, then blocks with < 2
+      distinct pseudo-entities are dropped -- a fully-internal block can
+      never merge anything again, so late iterations touch only the
+      unresolved frontier (the gate corpus collapses 17M rows to the chain
+      joints).  Final labels unwind through the recorded (entity -> label)
+      mappings, outermost last;
+    - a POINTER-JUMP step (label <- label-of-label, one self-join) engages
+      on a roughly-flat census -- the signature of chain-at-a-time
+      propagation -- and compresses chains in O(log diameter) rounds; star
+      blocks collapse geometrically and never pay it.  Past ``max_iter//2``
+      it engages unconditionally as a convergence backstop.
+
+    Lineage is truncated every ``truncate_every`` iterations AFTER the
+    census materializes (every iteration is observed; an unobserved
+    iteration can never read as converged): reliable ``checkpoint`` into
+    ``reliable_dir`` when given (the durable path -- an executor loss on a
+    real cluster recovers from distributed storage), else
+    ``localCheckpoint`` (fast path; re-derivable state).
+
+    ``cc_stats`` (dict, optional) receives: iterations, jump_engaged_at,
+    changed_hist, iter_walls (per-iteration seconds), contractions
+    (at_iter / rows_before / rows_after censuses -- no silent shrinks).
+    """
+    import time as _time
     from pyspark.sql import Observation
 
     spark = pairs.sparkSession
-    pairs = pairs.dropDuplicates(["entity", "block_key"])
-    # only keys shared by ≥2 entities can merge anything — this drops the
+
+    def _h(col: str):
+        return F.struct(F.xxhash64(F.col(col)).alias("h1"),
+                        F.xxhash64(F.lit(7), F.col(col)).alias("h2"))
+
+    enc = pairs.select(_h("entity").alias("eh"), _h("block_key").alias("bh"),
+                       F.col("entity"))
+    pe = enc.select("eh", "bh").dropDuplicates(["eh", "bh"])
+    # entity-string dictionary: only read AFTER convergence to restore the
+    # min-URI representative; min() makes a (2^-128) hash collision
+    # deterministic rather than racy
+    ent_names = (enc.groupBy("eh").agg(F.min("entity").alias("entity"))
+                 .persist())
+
+    # only keys shared by >=2 entities can merge anything -- this drops the
     # (at web scale, vast) unique-identifier majority before the loop;
     # SHUFFLE_HASH: AQE would otherwise broadcast the large side per plan.
     # max_block_df additionally drops SUPER-BLOCKS (df > cap): a blocking
-    # key shared by 100k+ entities — a hub author name, a placeholder ISBN,
-    # a degenerate band bucket — carries no discriminating evidence, chains
+    # key shared by 100k+ entities -- a hub author name, a placeholder ISBN,
+    # a degenerate band bucket -- carries no discriminating evidence, chains
     # unrelated entities into one giant component, and blows up both the
     # window sizes and the iteration count (component diameter).  This is
     # the standard entity-resolution guard; pass ``dropped_stats`` (a dict)
     # to census what the cap discarded (no silent caps).
-    dfs = (pairs.groupBy("block_key").agg(F.count(F.lit(1)).alias("df"))
+    dfs = (pe.groupBy("bh").agg(F.count(F.lit(1)).alias("df"))
            .persist())  # census + mergeable filter share one computation
     keep = F.col("df") >= 2
     if max_block_df is not None:
@@ -344,55 +374,59 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
                         F.sum("df").alias("rows")).first())
             dropped_stats["dropped_super_blocks"] = row["k"] or 0
             dropped_stats["dropped_pair_rows"] = row["rows"] or 0
-    mergeable = dfs.filter(keep).select("block_key")
-    state = (pairs.join(mergeable.hint("SHUFFLE_HASH"), "block_key")
-             .withColumn("label", F.col("entity"))
+    mergeable = dfs.filter(keep).select("bh")
+    state = (pe.join(mergeable.hint("SHUFFLE_HASH"), "bh")
+             .withColumn("label", F.col("eh"))
              .persist())
-    state.count()
+    n_rows = state.count()
     dfs.unpersist()
     if reliable_dir is not None:
         spark.sparkContext.setCheckpointDir(reliable_dir)
 
-    wk = Window.partitionBy("block_key")
-    we = Window.partitionBy("entity")
+    wk = Window.partitionBy("bh")
+    we = Window.partitionBy("eh")
     changed_hist: list[int] = []
+    iter_walls: list[float] = []
+    contractions: list[dict] = []
+    maps: list[DataFrame] = []   # contraction mappings, outermost first
     jump_on = False
     jump_engaged_at: int | None = None
+    last_contract = -2
     for i in range(max_iter):
+        t_iter = _time.time()
         # min(label) over the block, then min of that over the entity; both
         # include the row's own label, so labels decrease monotonically
         obs = Observation(f"cc_changed_{i}")
         win = (state
                .withColumn("_kmin", F.min("label").over(wk))
                .withColumn("_new", F.min("_kmin").over(we))
-               .select("entity", "block_key",
+               .select("eh", "bh",
                        F.col("_new").alias("label"),
-                       (F.col("_new") != F.col("label")).cast("int")
+                       (~(F.col("_new") == F.col("label"))).cast("int")
                        .alias("_chg")))
         if not jump_on and i >= 2:
             # engage the jump only when the changed census is NOT collapsing
             # geometrically (see docstring): flat counts mean chains, which
-            # need O(log d) jumping; a ≥4× per-round drop means stars about
+            # need O(log d) jumping; a >=4x per-round drop means stars about
             # to hit 0, for which the jump is pure overhead.
             prev, prev2 = changed_hist[-1], changed_hist[-2]
             jump_on = prev > 0 and (prev * 4 > prev2 or i >= max_iter // 2)
             if jump_on:
                 jump_engaged_at = i
         if jump_on:
-            # pointer jump: label ← label(label).  Labels are entity ids,
+            # pointer jump: label <- label(label).  Labels are entity ids,
             # so the per-entity label map applied to the label column
-            # halves every chain.
-            # `win` is persisted because the jump reads it twice (left
-            # side + the map) — and the observed node must execute once,
-            # so the census moves to the post-join projection (a stable
-            # window step implies a stable jump, so observing window-step
-            # changes remains a sound convergence test).
+            # halves every chain.  `win` is persisted because the jump
+            # reads it twice (left side + the map); the census moves to the
+            # post-join projection (a stable window step implies a stable
+            # jump, so observing window-step changes remains a sound
+            # convergence test).
             win = win.persist()
-            jmp = (win.select(F.col("entity").alias("label"),
+            jmp = (win.select(F.col("eh").alias("label"),
                               F.col("label").alias("_jmp"))
                    .dropDuplicates(["label"]))
             nxt = (win.join(jmp, "label", "left")
-                   .select("entity", "block_key",
+                   .select("eh", "bh",
                            F.coalesce("_jmp", "label").alias("label"),
                            "_chg"))
         else:
@@ -400,10 +434,6 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
             win = None
         new_state = (nxt.observe(obs, F.sum("_chg").alias("n"))
                      .drop("_chg"))
-        if (i + 1) % truncate_every == 0:
-            new_state = (new_state.checkpoint(eager=False)
-                         if reliable_dir is not None
-                         else new_state.localCheckpoint(eager=False))
         new_state = new_state.persist()
         n_rows = new_state.count()
         state.unpersist()
@@ -411,26 +441,79 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
             win.unpersist()
         state = new_state
         raw = obs.get["n"]
-        if raw is None and n_rows > 0:
-            # checkpoint-truncation iterations re-plan the tree under the
-            # checkpoint and the observation does not report — carry the
-            # last census forward (conservative for the jump gate) and
-            # never treat an UNOBSERVED iteration as converged
-            n_changed = changed_hist[-1] if changed_hist else 1
-        else:
-            n_changed = raw or 0   # sum over an empty state is null
+        n_changed = int(raw) if raw is not None else 0   # always observed now
         changed_hist.append(n_changed)
-        if raw == 0 or n_rows == 0:
+        # truncate AFTER the census materialized: the observation fired on
+        # the persisted node above, so truncation reads the cache once and
+        # never masks the census (the old order lost one census per
+        # truncation and burned a full extra iteration on the carried count)
+        if (i + 1) % truncate_every == 0 and n_changed and n_rows:
+            t = (state.checkpoint(eager=True) if reliable_dir is not None
+                 else state.localCheckpoint(eager=True))
+            state.unpersist()
+            state = t
+        if n_changed == 0 or n_rows == 0:
+            iter_walls.append(round(_time.time() - t_iter, 2))
+            break
+        # -- contraction: unconditional after iteration 0 (which already
+        # computed the 2-hop min, so clusters exist to contract), then
+        # whenever most rows are stable; bounded at 4 levels (each costs
+        # ~1 cheap pass and shrinks every later iteration, so it always
+        # pays back on big graphs and costs epsilon on small ones --
+        # tests run through it too).  Star-only graphs contract to an
+        # EMPTY frontier here and exit after a single full-size pass.
+        if (len(maps) < 4 and i - last_contract >= 2
+                and (i == 0 or n_changed * 2 < n_rows)):
+            mapping = state.select("eh", "label").distinct().persist()
+            mapping.count()   # pin before the state it derives from moves
+            if reliable_dir is not None:
+                mapping = mapping.checkpoint(eager=True)
+            cstate = state.select(F.col("label").alias("eh"), "bh").distinct()
+            cdfs = cstate.groupBy("bh").agg(F.count(F.lit(1)).alias("df"))
+            cstate = (cstate.join(cdfs.filter(F.col("df") >= 2).select("bh")
+                                  .hint("SHUFFLE_HASH"), "bh")
+                      .select("bh", "eh", F.col("eh").alias("label"))
+                      .persist())
+            c_rows = cstate.count()
+            contractions.append({"at_iter": i, "rows_before": n_rows,
+                                 "rows_after": c_rows})
+            maps.append(mapping)
+            state.unpersist()
+            state = cstate
+            n_rows = c_rows
+            last_contract = i
+        iter_walls.append(round(_time.time() - t_iter, 2))
+        if n_rows == 0:
             break
     if cc_stats is not None:
         cc_stats["iterations"] = len(changed_hist)
         cc_stats["jump_engaged_at"] = jump_engaged_at
         cc_stats["changed_hist"] = changed_hist
-    out = state.select("entity", F.col("label").alias("canonical_id")) \
-               .distinct()
-    # pin the result before releasing the loop cache it derives from
+        cc_stats["iter_walls"] = iter_walls
+        cc_stats["contractions"] = contractions
+    # unwind: pseudo-entity labels -> previous level's labels, innermost
+    # mapping first; a pseudo-entity absent from the contracted loop output
+    # was removed by the df>=2 refilter with its component fully converged,
+    # so its label is final (coalesce keeps it)
+    comp = state.select("eh", "label").distinct()
+    for mapping in reversed(maps):
+        m = mapping.withColumnRenamed("label", "_plabel")
+        c = (comp.withColumnRenamed("eh", "_pe")
+             .withColumnRenamed("label", "_flabel"))
+        comp = (m.join(c, m["_plabel"] == c["_pe"], "left")
+                .select("eh",
+                        F.coalesce("_flabel", "_plabel").alias("label")))
+    comp = comp.join(ent_names, "eh").select("entity", "label")
+    # representative = min entity URI per component, exactly as the string-
+    # label loop chose it (labels are internal ids only)
+    rep = comp.groupBy("label").agg(F.min("entity").alias("canonical_id"))
+    out = comp.join(rep, "label").select("entity", "canonical_id").distinct()
+    # pin the result before releasing the loop caches it derives from
     out = out.localCheckpoint(eager=True)
     state.unpersist()
+    for mapping in maps:
+        mapping.unpersist()
+    ent_names.unpersist()
     return out
 
 

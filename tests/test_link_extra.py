@@ -168,3 +168,88 @@ def test_cc_star_blocks_never_pay_the_jump(spark):
     assert all(c == f"s{e[1:3]}_0" for e, c in cmap)
     assert stats["jump_engaged_at"] is None, stats
     assert stats["iterations"] <= 3, stats
+
+
+def _union_find_reference(rows):
+    """Driver-side union-find over (entity, block_key) pairs restricted to
+    blocks with df >= 2 — the oracle for connected_components' output
+    contract: (entity, min-URI-of-component) for every entity in a
+    merge-capable block."""
+    from collections import defaultdict
+    by_block = defaultdict(list)
+    for e, k in rows:
+        if e not in by_block[k]:
+            by_block[k].append(e)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    members = set()
+    for k, ents in by_block.items():
+        if len(ents) < 2:
+            continue
+        members.update(ents)
+        for e in ents[1:]:
+            union(ents[0], e)
+    comp = defaultdict(list)
+    for e in members:
+        comp[find(e)].append(e)
+    out = set()
+    for ents in comp.values():
+        rep = min(ents)
+        out.update((e, rep) for e in ents)
+    return out
+
+
+def test_cc_contraction_matches_union_find(spark):
+    """Mixed stars + a chain long enough to need several iterations: the
+    contraction path (engaged unconditionally after iteration 1) must
+    census its shrinks (no silent row drops) and the unwound output must
+    equal a driver-side union-find, including the min-URI representative."""
+    from olkg.canonicalize import connected_components
+    rows = []
+    for b in range(25):                       # stars (identifier blocks)
+        for m in range(5):
+            rows.append((f"s{b:02d}_{m}", f"isbn:{b:02d}"))
+    for i in range(23):                       # one 24-entity chain
+        rows.append((f"c{i:02d}", f"band:{i:02d}"))
+        rows.append((f"c{i+1:02d}", f"band:{i:02d}"))
+    rows.append(("c00", "isbn:00"))           # chain touches star 0
+    stats = {}
+    got = {(r.entity, r.canonical_id)
+           for r in connected_components(
+               spark.createDataFrame(rows, ["entity", "block_key"]),
+               cc_stats=stats).collect()}
+    assert got == _union_find_reference(rows)
+    assert stats["contractions"], stats       # fired at least once
+    for c in stats["contractions"]:           # shrink census is coherent
+        assert c["rows_after"] <= c["rows_before"]
+    assert len(stats["iter_walls"]) == stats["iterations"]
+
+
+def test_cc_seeded_random_graph_matches_union_find(spark):
+    """Deterministic pseudo-random bipartite graph (mix of singleton keys,
+    stars, shared hubs): hash-encoded labels + contraction + jump must be
+    invisible in the output vs driver-side union-find."""
+    from olkg.canonicalize import connected_components
+    import random
+    rng = random.Random(20260817)
+    rows = []
+    for i in range(400):
+        e = f"http://x/e{i:04d}"
+        for _ in range(rng.randint(1, 3)):
+            rows.append((e, f"k{rng.randint(0, 250):03d}"))
+    got = {(r.entity, r.canonical_id)
+           for r in connected_components(
+               spark.createDataFrame(rows, ["entity", "block_key"]),
+               max_block_df=None).collect()}
+    assert got == _union_find_reference(rows)
