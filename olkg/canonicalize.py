@@ -505,9 +505,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
                         F.coalesce("_flabel", "_plabel").alias("label")))
     comp = comp.join(ent_names, "eh").select("entity", "label")
     # representative = min entity URI per component, exactly as the string-
-    # label loop chose it (labels are internal ids only)
-    rep = comp.groupBy("label").agg(F.min("entity").alias("canonical_id"))
-    out = comp.join(rep, "label").select("entity", "canonical_id").distinct()
+    # label loop chose it (labels are internal ids only); ONE window pass
+    # instead of groupBy + join-back — the rows are already co-partitioned
+    # by label for the min, so the join-back shuffle would be pure waste
+    out = (comp.withColumn("canonical_id",
+                           F.min("entity").over(Window.partitionBy("label")))
+           .select("entity", "canonical_id").distinct())
     # pin the result before releasing the loop caches it derives from
     out = out.localCheckpoint(eager=True)
     state.unpersist()
