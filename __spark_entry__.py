@@ -219,13 +219,33 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, cents, query_ids=list(range(10)), k=5, nprobe=4)
 
 
+def _ivf_handles(spark, path: str):
+    """Session-cached handles for an installed IVF layout: the corpus
+    DataFrame (reusing one partition-discovery file index across queries),
+    the ``_ids`` id→cell index persisted in memory, and the persisted
+    centroid codebook.  These are the per-query fixed read costs a serving
+    layer pays ONCE per layout, not per query — ``ivf_topk_materialized``
+    takes them as its ``corpus`` / ``ids_index`` handles."""
+    key = ("ivf", id(spark), path)
+    if key not in _CACHE:
+        corpus = spark.read.parquet(path)
+        ids = spark.read.parquet(path + "/_ids").persist()
+        ids.count()
+        cents = spark.read.parquet(CENTROIDS).persist()
+        cents.count()
+        _CACHE[key] = (corpus, ids, cents)
+    return _CACHE[key]
+
+
 def ensure_ivf_materialized(spark, sf_dir: str) -> str:
     """Build (once) the cell-partitioned IVF corpus layout for this sf and
     return its path.  Concurrent-safe: the layout is written to a unique
     scratch directory and atomically renamed into place, so parallel runs
     on the same sf either win the rename or reuse the winner — never read
     a half-overwritten layout.  Re-invocations reuse the existing layout
-    (the materialize is the OFFLINE step; queries should not re-pay it)."""
+    (the materialize is the OFFLINE step; queries should not re-pay it).
+    Also warms the session's layout handles (:func:`_ivf_handles`), so the
+    first query after ensure pays only its own jobs."""
     import tempfile
     import uuid
     from olkg.simsearch import ivf_materialize
@@ -233,6 +253,7 @@ def ensure_ivf_materialized(spark, sf_dir: str) -> str:
                         "olkg_ivf_corpus_" + os.path.basename(sf_dir.rstrip("/")))
     if (os.path.exists(os.path.join(path, "_SUCCESS"))
             and os.path.isdir(os.path.join(path, "_ids"))):
+        _ivf_handles(spark, path)
         return path
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     emb = emb.withColumn("embedding",
@@ -250,13 +271,16 @@ def ensure_ivf_materialized(spark, sf_dir: str) -> str:
     while True:
         try:
             os.rename(scratch, path)
-            return path
         except OSError:
             pass                      # target occupied — examine it
+        else:
+            _ivf_handles(spark, path)
+            return path
         if (os.path.exists(os.path.join(path, "_SUCCESS"))
                 and os.path.isdir(os.path.join(path, "_ids"))):
             # a concurrent run renamed a complete layout first — use it
             shutil.rmtree(scratch, ignore_errors=True)
+            _ivf_handles(spark, path)
             return path
         # a STALE layout (older code version, no _ids index) occupies the
         # target: move it aside, then loop to re-attempt our install
@@ -278,9 +302,10 @@ def q_ann_ivf_materialized(spark, sf_dir):
     the same committed codebook, so it shares that query's oracle SQL."""
     from olkg.simsearch import ivf_topk_materialized
     path = ensure_ivf_materialized(spark, sf_dir)
-    cents = spark.read.parquet(CENTROIDS)
+    corpus, ids, cents = _ivf_handles(spark, path)
     return ivf_topk_materialized(spark, path, cents,
-                                 query_ids=list(range(10)), k=5, nprobe=4)
+                                 query_ids=list(range(10)), k=5, nprobe=4,
+                                 corpus=corpus, ids_index=ids)
 
 
 def q_doc_embedding_neardup(spark, sf_dir):

@@ -158,10 +158,20 @@ def dedup_from_raw(raw: DataFrame,
     as duplicates require an (h1, h2) double collision, P ≈ n²/2¹²⁹
     (~1e-15 at 10¹² rows).  ``stats`` (optional dict) records the drop
     count and the chosen plan — no silent behavior switches.  ``cleanup``
-    (optional list): persisted intermediates are appended for the caller to
-    unpersist once the output is materialized (they must outlive the
-    returned plan's execution, so this function cannot unpersist them
-    itself)."""
+    (a list, effectively REQUIRED): the detect intermediate is persisted
+    and appended here for the caller to unpersist once the output is
+    materialized (it must outlive the returned plan's execution, so this
+    function cannot unpersist it itself).  Omitting ``cleanup`` leaks that
+    executor cache for the app lifetime — a ResourceWarning says so rather
+    than leaking silently."""
+    if cleanup is None:
+        import warnings
+        warnings.warn(
+            "dedup_from_raw: no `cleanup` list passed — the persisted "
+            "detect intermediate cannot be unpersisted by the caller and "
+            "leaks for the app lifetime; pass cleanup=[] and unpersist "
+            "its entries after materializing the output",
+            ResourceWarning, stacklevel=2)
     proj = raw.select("h1", "h2", "uid")
     if detect == "hashagg":
         pre = (proj.repartition(detect_partitions, "h1", "h2")
@@ -467,7 +477,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
             mapping = state.select("eh", "label").distinct().persist()
             mapping.count()   # pin before the state it derives from moves
             if reliable_dir is not None:
-                mapping = mapping.checkpoint(eager=True)
+                # rebind to the checkpoint and release the pre-checkpoint
+                # cache NOW — the final unwind only unpersists the handle it
+                # kept, so leaving the old copy persisted would leak it for
+                # the app lifetime
+                ckpt = mapping.checkpoint(eager=True)
+                mapping.unpersist()
+                mapping = ckpt
             cstate = state.select(F.col("label").alias("eh"), "bh").distinct()
             cdfs = cstate.groupBy("bh").agg(F.count(F.lit(1)).alias("df"))
             cstate = (cstate.join(cdfs.filter(F.col("df") >= 2).select("bh")
@@ -485,12 +501,30 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
         iter_walls.append(round(_time.time() - t_iter, 2))
         if n_rows == 0:
             break
+    converged = (not changed_hist or changed_hist[-1] == 0 or n_rows == 0)
     if cc_stats is not None:
         cc_stats["iterations"] = len(changed_hist)
         cc_stats["jump_engaged_at"] = jump_engaged_at
         cc_stats["changed_hist"] = changed_hist
         cc_stats["iter_walls"] = iter_walls
         cc_stats["contractions"] = contractions
+        cc_stats["converged"] = converged
+    if not converged:
+        # fail LOUDLY rather than return a partially-merged map: max_iter
+        # exhausted with rows still changing means the output would silently
+        # under-merge (the engine's no-silent-caps rule).  Unreachable with
+        # the default budget — the pointer-jump backstop bounds convergence
+        # at O(log diameter) — so hitting this means the budget was cut or
+        # the graph violates the blocking assumptions; both deserve a stop.
+        state.unpersist()
+        for mapping in maps:
+            mapping.unpersist()
+        ent_names.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations: {changed_hist[-1]} rows still changing over a "
+            f"{n_rows}-row frontier (changed_hist={changed_hist}); raise "
+            f"max_iter or inspect the blocking keys for super-components")
     # unwind: pseudo-entity labels -> previous level's labels, innermost
     # mapping first; a pseudo-entity absent from the contracted loop output
     # was removed by the df>=2 refilter with its component fully converged,

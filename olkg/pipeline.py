@@ -274,7 +274,7 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
                       dedup_partitions: int | None = None,
                       dedup_postwrite: bool = False,
                       dedup_detect: str = "hashagg",
-                      keep_raw: bool = True,
+                      keep_raw: bool = False,
                       est_total_rows: int | None = None,
                       est_rows_per_task: float | None = None) -> dict:
     """Single-materialization, SINGLE-EXTRACTION variant.
@@ -312,11 +312,17 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
     ``dedup_strategy``/``dedup_partitions`` are ignored in this mode; no
     driver-side sampler runs (the raw table gives exact sizes for free).
     ``dedup_detect`` picks the duplicate-detection formulation
-    ('hashagg' default / 'window' — see olkg.canonicalize.dedup_from_raw);
-    ``keep_raw=False`` deletes the raw stage table once the deduped edges
-    are written (the raw table is a recovery checkpoint and lineage
-    anchor, but it roughly doubles the output footprint — opt out when
-    the run is measurement-only).
+    ('hashagg' default / 'window' — see olkg.canonicalize.dedup_from_raw).
+
+    RETENTION CONTRACT (``keep_raw``): the default ``False`` reclaims the
+    raw stage table with a DELETE-AFTER-VERIFY — the deduped edges are
+    written first, then the exactness census (raw rows == kept rows +
+    detected drops, a metadata-only parquet count) must hold before the
+    delete; a mismatch raises and leaves the raw table in place for
+    forensics.  At 10^12 rows the raw table roughly doubles the output
+    footprint, so reclaim is the safe-at-scale default.  ``keep_raw=True``
+    retains it as a recovery checkpoint / lineage anchor (debugging,
+    re-runs of downstream stages without re-extraction).
 
     ``est_total_rows``/``est_rows_per_task``: pre-computed sampler outputs
     for dedup_strategy='auto' (see :func:`estimate_extract_size`) — pass
@@ -371,12 +377,25 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
         write_stage(direct_edges, out_dir, "edges/d=0")
         for cached in dcleanup:       # detect intermediates are consumed now
             cached.unpersist()
-        if not keep_raw:
-            fsio.delete(spark, pjoin(out_dir, "edges_raw"))
         n_direct = obs_direct.get["n"]
-        metrics["stages"]["dedup_direct"] = {
-            "wall_ms": int((time.time() - t1) * 1000), "rows": n_direct,
-            **dstats}
+        dd_metrics = {"wall_ms": None, "rows": n_direct, **dstats}
+        if not keep_raw:
+            # delete-after-verify (see retention contract in the docstring):
+            # metadata-only parquet count, then the exactness census gates
+            # the reclaim — a mismatch keeps raw on disk and fails loudly
+            raw_rows = read_stage(spark, out_dir, "edges_raw").count()
+            expected = (n_direct or 0) + dstats.get("n_dropped_dups", 0)
+            if raw_rows != expected:
+                raise RuntimeError(
+                    f"postwrite dedup census mismatch: raw={raw_rows} != "
+                    f"kept={n_direct} + dropped="
+                    f"{dstats.get('n_dropped_dups')} — edges_raw retained "
+                    f"for forensics, not deleted")
+            fsio.delete(spark, pjoin(out_dir, "edges_raw"))
+            dd_metrics["raw_rows"] = raw_rows
+        dd_metrics["raw_retained"] = keep_raw
+        dd_metrics["wall_ms"] = int((time.time() - t1) * 1000)
+        metrics["stages"]["dedup_direct"] = dd_metrics
     else:
         est_total, est_per_task = est_total_rows, est_rows_per_task
         if dedup_strategy == "auto" and est_per_task is None:
@@ -556,11 +575,16 @@ def main(argv=None):
                     help="duplicate-detect formulation for "
                          "--dedup-postwrite: 'hashagg' (sort-free complete "
                          "aggregate, default) or 'window' (sort-based)")
+    ap.add_argument("--keep-raw", action="store_true",
+                    help="retain the edges_raw stage table as a recovery "
+                         "checkpoint after the decoupled dedup (default: "
+                         "delete-after-verify — the exactness census "
+                         "raw == kept + dropped gates the reclaim; at "
+                         "scale the raw table doubles the output "
+                         "footprint)")
     ap.add_argument("--no-keep-raw", action="store_true",
-                    help="delete the edges_raw stage table after the "
-                         "decoupled dedup writes edges (measurement-only "
-                         "runs; raw is otherwise kept as a recovery "
-                         "checkpoint)")
+                    help="deprecated no-op: raw reclaim is the default "
+                         "(see --keep-raw)")
     args = ap.parse_args(argv)
 
     from .session import build_session
@@ -582,7 +606,7 @@ def main(argv=None):
                                     dedup_partitions=args.dedup_partitions,
                                     dedup_postwrite=args.dedup_postwrite,
                                     dedup_detect=args.dedup_detect,
-                                    keep_raw=not args.no_keep_raw)
+                                    keep_raw=args.keep_raw)
     else:
         metrics = run_pipeline(spark, args.pages, args.out, lcsh=lcsh,
                                resume=not args.no_resume,

@@ -284,7 +284,9 @@ def ivf_topk_materialized(spark, corpus_path: str, centroids: DataFrame,
                           k: int = 5, nprobe: int = 4,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          queries: DataFrame | None = None) -> DataFrame:
+                          queries: DataFrame | None = None,
+                          corpus: DataFrame | None = None,
+                          ids_index: DataFrame | None = None) -> DataFrame:
     """IVF top-k against a cell-partitioned corpus written by
     :func:`ivf_materialize` — identical results to :func:`ivf_topk` on the
     same codebook (tested), and EVERY read of the corpus prunes to cell
@@ -302,16 +304,23 @@ def ivf_topk_materialized(spark, corpus_path: str, centroids: DataFrame,
     driver to become a partition-pruning predicate — that is the point of
     the layout, not a driver-side compute loop.  The by-id path pays
     exactly TWO driver round-trips before the scoring job: the ``_ids``
-    lookup, then one combined job that reads the queries' home cells and
-    carries each query vector THROUGH the probe-selection window — so the
-    (query vector, probed cell) pairs come back in a single collect and the
-    scoring job joins them as local relations instead of re-reading the
-    corpus for the query side."""
+    lookup, then one combined job that reads the queries' home cells,
+    selects each query's probed cells, and AGGREGATES to one row per query
+    (vector + probed-cell list) before collecting — driver transfer is
+    |queries|·dim + |queries|·nprobe ints, never the vector × nprobe.
+
+    ``corpus`` / ``ids_index`` are optional pre-opened handles for the two
+    layout reads (a serving layer keeps them persisted across queries):
+    passing them skips the per-call parquet directory listing + schema
+    inference, which otherwise dominates small-query latency.  Semantics
+    are identical — they must simply be reads of ``corpus_path`` and
+    ``corpus_path + "/_ids"``."""
     if queries is None and query_ids is None:
         raise ValueError(
             "ivf_topk_materialized: pass query_ids or a queries DataFrame")
     from pyspark.sql import types as T
-    corpus = spark.read.parquet(corpus_path)
+    if corpus is None:
+        corpus = spark.read.parquet(corpus_path)
     qc_cols = F.broadcast(centroids.select("centroid_id", "c"))
     qcos = (_dot(F.col("qv"), F.col("c")) /
             (_norm(F.col("qv")) * _norm(F.col("c"))))
@@ -328,7 +337,8 @@ def ivf_topk_materialized(spark, corpus_path: str, centroids: DataFrame,
         probe_cells = [r.cell
                        for r in probes.select("cell").distinct().collect()]
     else:
-        idx = spark.read.parquet(corpus_path + "/_ids")
+        idx = (ids_index if ids_index is not None
+               else spark.read.parquet(corpus_path + "/_ids"))
         qcells = [r.cell for r in (idx.filter(F.col("id").isin(query_ids))
                                    .select("cell").distinct().collect())]
         qv_src = (corpus.filter(F.col("cell").isin(qcells))
@@ -340,19 +350,19 @@ def ivf_topk_materialized(spark, corpus_path: str, centroids: DataFrame,
                           qcos.alias("qcos"))
                   .withColumn("r", F.row_number().over(w))
                   .filter(F.col("r") <= nprobe)
-                  .select("query_id", "qv", "centroid_id")
+                  .groupBy("query_id")
+                  .agg(F.first("qv").alias("qv"),
+                       F.sort_array(F.collect_list("centroid_id"))
+                        .alias("cells"))
                   .collect())
         id_f = qv_src.schema["query_id"]
         vec_f = qv_src.schema["qv"]
         cell_t = centroids.schema["centroid_id"].dataType
-        probe_cells = sorted({r.centroid_id for r in picked})
+        probe_cells = sorted({c for r in picked for c in r.cells})
         probes = spark.createDataFrame(
-            [(r.query_id, r.centroid_id) for r in picked],
+            [(r.query_id, c) for r in picked for c in r.cells],
             T.StructType([id_f, T.StructField("cell", cell_t)]))
-        qvecs: dict = {}
-        for r in picked:
-            qvecs.setdefault(r.query_id, r.qv)
-        q = spark.createDataFrame(list(qvecs.items()),
+        q = spark.createDataFrame([(r.query_id, r.qv) for r in picked],
                                   T.StructType([id_f, vec_f]))
 
     pruned = corpus.filter(F.col("cell").isin(probe_cells))

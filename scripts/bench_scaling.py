@@ -22,6 +22,22 @@ on identical work varied 25.4s → 35.6s in measurement.  Levels alternate
 (2,8,2,8,...) so host drift hits both equally; the median per level is
 reported and every trial is recorded in BENCH/scaling.json.
 
+Why ``--storage tmpfs`` (the cluster-representative protocol): stage
+input/output parquet lives on the sandbox's ONE virtio disk by default.
+Direct measurement (round 6): that disk saturates at ~33 MB/s under the
+shuffle-control job — both local[2] AND local[8] hit the same cap, so the
+measured "efficiency" collapses to the disk lottery (same-day control
+readings spanned 0.56 → 0.13 across rounds on identical work).  On a real
+N → 4N cluster the aggregate storage bandwidth (per-node disks / HDFS / S3
+prefixes) grows ~4x with the node count — storage is a SCALING resource
+there, and the single shared disk is precisely the sandbox artifact the
+two-parallelism stand-in is supposed to factor out (the same reasoning that
+already put shuffle scratch on tmpfs).  ``--storage tmpfs`` places the page
+corpus and every stage table on /dev/shm, so the gate measures the engine's
+compute + shuffle scaling against memory bandwidth — still a shared,
+honest contention surface — instead of one device with no cluster analog.
+Disk-storage artifacts from earlier rounds remain on record for comparison.
+
 Usage: python scripts/bench_scaling.py [--clones N] [--trials K]
        [--levels LO HI] [--skip-generate]
 """
@@ -59,8 +75,9 @@ def generate_corpus(clones: int, path: str,
 
 
 def run_at(cores: int, pages_path: str, dedup_mode: str = "fused",
-           dedup_detect: str = "hashagg") -> dict:
-    out = tempfile.mkdtemp(prefix=f"olkg_scale_{cores}_")
+           dedup_detect: str = "hashagg",
+           scratch_root: str | None = None) -> dict:
+    out = tempfile.mkdtemp(prefix=f"olkg_scale_{cores}_", dir=scratch_root)
     # fixed moderate heap at every level: on this VM, JVM heaps ≥32g degrade
     # throughput 2-3x (host-side page backing) — and a constant heap also
     # keeps memory out of the compared variables
@@ -82,10 +99,9 @@ def run_at(cores: int, pages_path: str, dedup_mode: str = "fused",
            # north_rule: repartition pages by url-hash ahead of extraction
            "--repartition-by-url", str(cores * 2)]
     if dedup_mode == "postwrite":
-        # measurement-only runs: drop the raw checkpoint after dedup so the
-        # scratch footprint stays ~1x the output
-        cmd += ["--dedup-postwrite", "--dedup-detect", dedup_detect,
-                "--no-keep-raw"]
+        # delete-after-verify raw reclaim is the pipeline default now; the
+        # scratch footprint stays ~1x the output with the census asserted
+        cmd += ["--dedup-postwrite", "--dedup-detect", dedup_detect]
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
                           cwd=REPO)
@@ -121,17 +137,32 @@ def main():
                     help="'postwrite' decouples dedup from the extract "
                          "stage (raw write + hash-drop dedup job; see "
                          "olkg.canonicalize.dedup_from_raw)")
+    ap.add_argument("--storage", default="disk", choices=["disk", "tmpfs"],
+                    help="where the page corpus and stage tables live: "
+                         "'disk' (/tmp, the one virtio device) or 'tmpfs' "
+                         "(/dev/shm — models per-node-scaling storage "
+                         "bandwidth; see module docstring)")
     args = ap.parse_args()
 
     cs = args.cluster_size or None
-    pages_path = os.path.join(
-        tempfile.gettempdir(),
-        f"olkg_scaling_pages_{args.clones}" + (f"_cs{cs}" if cs else ""))
+    corpus_name = (f"olkg_scaling_pages_{args.clones}"
+                   + (f"_cs{cs}" if cs else ""))
+    pages_path = os.path.join(tempfile.gettempdir(), corpus_name)
     if not args.skip_generate and not os.path.exists(
             os.path.join(pages_path, "_SUCCESS")):
         print(f"generating corpus: 30 records x {args.clones} clones ...",
               flush=True)
         generate_corpus(args.clones, pages_path, cluster_size=cs)
+
+    scratch_root = None
+    if args.storage == "tmpfs":
+        scratch_root = "/dev/shm/olkg_gate"
+        os.makedirs(scratch_root, exist_ok=True)
+        shm_pages = os.path.join(scratch_root, corpus_name)
+        if not os.path.exists(os.path.join(shm_pages, "_SUCCESS")):
+            print(f"copying corpus to tmpfs: {shm_pages} ...", flush=True)
+            shutil.copytree(pages_path, shm_pages, dirs_exist_ok=True)
+        pages_path = shm_pages
 
     lo, hi = sorted(args.levels)
     trials: dict[int, list] = {lo: [], hi: []}
@@ -151,6 +182,7 @@ def main():
             "cluster_size": cs,
             "dedup_mode": args.dedup_mode,
             "dedup_detect": args.dedup_detect,
+            "storage": args.storage,
             "pages": any_t.get("pages"),
             "triples": any_t.get("triples"),
             "levels": [lo, hi],
@@ -167,7 +199,8 @@ def main():
             print(f"trial {i + 1}/{args.trials}: local[{cores}] ...",
                   flush=True)
             m = run_at(cores, pages_path, dedup_mode=args.dedup_mode,
-                       dedup_detect=args.dedup_detect)
+                       dedup_detect=args.dedup_detect,
+                       scratch_root=scratch_root)
             rec = {"wall_s": m["wall_s"], "triples": m["triples"],
                    "pages": m["pages"],
                    "tps": round(m["triples"] / m["wall_s"], 1),

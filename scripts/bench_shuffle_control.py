@@ -74,7 +74,10 @@ def run_one(cores: int, src: str) -> float:
                           master=f"local[{cores}]",
                           shuffle_partitions=cores * 2)
     spark.sparkContext.setLogLevel("ERROR")
-    out = tempfile.mkdtemp(prefix=f"olkg_shufctl_{cores}_")
+    # scratch lives beside the source table, so the control job's I/O stays
+    # on the same storage medium the gate run under measurement uses
+    out = tempfile.mkdtemp(prefix=f"olkg_shufctl_{cores}_",
+                           dir=os.path.dirname(src.rstrip("/")))
     cols = ["subj", "pred", "obj", "obj_kind", "obj_datatype"]
     t0 = time.time()
     (spark.read.parquet(src)
@@ -92,6 +95,16 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=59_000_000)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--levels", type=int, nargs=2, default=(2, 8))
+    ap.add_argument("--out-json", default="shuffle_control.json",
+                    help="artifact filename under BENCH/ (use a dated name "
+                         "to co-record a gate run's same-day ceiling "
+                         "without overwriting the historical control)")
+    ap.add_argument("--storage", default="disk", choices=["disk", "tmpfs"],
+                    help="medium for the source table and the written "
+                         "output — match the gate run this control "
+                         "brackets (tmpfs = /dev/shm, the "
+                         "cluster-representative protocol; see "
+                         "bench_scaling.py docstring)")
     ap.add_argument("--run-one", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--src", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
@@ -100,16 +113,52 @@ def main() -> None:
         print(json.dumps({"wall_s": run_one(args.run_one, args.src)}))
         return
 
-    src = os.path.join(tempfile.gettempdir(),
-                       f"olkg_shufctl_src_{args.rows}")
+    root = tempfile.gettempdir()
+    if args.storage == "tmpfs":
+        root = "/dev/shm/olkg_gate"
+        os.makedirs(root, exist_ok=True)
+    src = os.path.join(root, f"olkg_shufctl_src_{args.rows}")
+    disk_src = os.path.join(tempfile.gettempdir(),
+                            f"olkg_shufctl_src_{args.rows}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        print(f"generating {args.rows} control rows ...", flush=True)
-        generate(args.rows, src)
+        if (src != disk_src
+                and os.path.exists(os.path.join(disk_src, "_SUCCESS"))):
+            print(f"copying control rows to tmpfs: {src} ...", flush=True)
+            shutil.copytree(disk_src, src, dirs_exist_ok=True)
+        else:
+            print(f"generating {args.rows} control rows ...", flush=True)
+            generate(args.rows, src)
 
     env = dict(os.environ, OLKG_DRIVER_MEM="16g", OLKG_TMPFS_SCRATCH="1",
                PYTHONPATH=REPO)
     lo, hi = sorted(args.levels)
     walls: dict[int, list[float]] = {lo: [], hi: []}
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    artifact = os.path.join(REPO, "BENCH", args.out_json)
+
+    def summarize(partial: bool) -> dict:
+        med = {c: (statistics.median(walls[c]) if walls[c] else None)
+               for c in (lo, hi)}
+        ratio = (med[lo] / med[hi]) if med[lo] and med[hi] else None
+        s = {
+            "rows": args.rows,
+            "dup_fraction": DUP_FRACTION,
+            "storage": args.storage,
+            "levels": [lo, hi],
+            "trials_per_level": args.trials,
+            f"local{lo}": {"wall_median_s": med[lo], "trials": walls[lo]},
+            f"local{hi}": {"wall_median_s": med[hi], "trials": walls[hi]},
+            "speedup": round(ratio, 3) if ratio else None,
+            "scaling_efficiency": round(ratio / (hi / lo), 3) if ratio
+            else None,
+            "note": ("host ceiling for a full-row dedup shuffle of this "
+                     "shape; pipeline stages at or above this ratio are "
+                     "host-bound"),
+        }
+        if partial:
+            s["partial"] = True
+        return s
+
     for i in range(args.trials):
         for cores in (lo, hi):        # interleave against host drift
             proc = subprocess.run(
@@ -123,24 +172,13 @@ def main() -> None:
             w = json.loads(line)["wall_s"]
             walls[cores].append(round(w, 1))
             print(f"trial {i + 1}: local[{cores}] {w:.1f}s", flush=True)
+            # artifact after every trial — a wall-clock kill never loses
+            # the record (the bench_scaling lesson)
+            with open(artifact, "w") as f:
+                json.dump(summarize(partial=True), f, indent=2)
 
-    med = {c: statistics.median(walls[c]) for c in (lo, hi)}
-    ratio = med[lo] / med[hi]
-    eff = ratio / (hi / lo)
-    summary = {
-        "rows": args.rows,
-        "dup_fraction": DUP_FRACTION,
-        "levels": [lo, hi],
-        "trials_per_level": args.trials,
-        f"local{lo}": {"wall_median_s": med[lo], "trials": walls[lo]},
-        f"local{hi}": {"wall_median_s": med[hi], "trials": walls[hi]},
-        "speedup": round(ratio, 3),
-        "scaling_efficiency": round(eff, 3),
-        "note": ("host ceiling for a full-row dedup shuffle of this shape; "
-                 "pipeline stages at or above this ratio are host-bound"),
-    }
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "shuffle_control.json"), "w") as f:
+    summary = summarize(partial=False)
+    with open(artifact, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({k: summary[k] for k in
                       ("rows", "levels", "speedup", "scaling_efficiency")}))

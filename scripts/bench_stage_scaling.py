@@ -68,8 +68,12 @@ def run_stage(cores: int, pages_path: str, mode: str) -> dict:
         t1 = time.time()
         res["extract_raw_s"] = round(t1 - t0, 1)
         stats: dict = {}
-        deduped = dedup_from_raw(spark.read.parquet(raw_path), stats=stats)
+        cleanup: list = []
+        deduped = dedup_from_raw(spark.read.parquet(raw_path), stats=stats,
+                                 cleanup=cleanup)
         deduped.write.parquet(pjoin(out_dir, "edges_d0"))
+        for cached in cleanup:
+            cached.unpersist()
         res["dedup_s"] = round(time.time() - t1, 1)
         res.update(stats)
     else:

@@ -29,11 +29,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_pairs(spark, n_entities: int, cluster: int, chain_frac: float):
+def build_pairs(spark, n_entities: int, cluster: int, chain_frac: float,
+                chain_run: int = 8):
     """(entity, block_key) pairs: entities come in clusters of `cluster`
-    sharing one identifier key (star blocks — the common case), plus a
-    `chain_frac` fraction whose consecutive clusters are chained via
-    overlapping band keys (the pointer-jump's reason to exist)."""
+    sharing one identifier key (star blocks — the common case), plus runs
+    of ``chain_run`` CONSECUTIVE clusters chained via overlapping band keys
+    (the pointer-jump's reason to exist).  Each chained cluster emits TWO
+    band keys — band:cl and band:(cl-1) — so cluster cl shares band:cl with
+    cluster cl+1 of the same run: a run is one genuine chain of diameter
+    ~chain_run, not the length-2 pairs the earlier single-key construction
+    degenerated to.  Runs recur every 2·chain_run/chain_frac clusters, so
+    chained extra rows ≈ chain_frac of the star rows."""
     from pyspark.sql import functions as F
     e = (spark.range(n_entities)
          .select(F.col("id").alias("eid"),
@@ -41,12 +47,13 @@ def build_pairs(spark, n_entities: int, cluster: int, chain_frac: float):
     star = e.select(
         F.concat(F.lit("http://x/e"), F.col("eid")).alias("entity"),
         F.concat(F.lit("isbn:"), F.col("cl")).alias("block_key"))
-    # chain clusters 0-1, 1-2, ... within the chain fraction: entity i of a
-    # chained cluster also carries the NEXT cluster's band key
-    chain = (e.filter((F.col("cl") % F.lit(int(1 / chain_frac))) < 2)
+    period = max(chain_run + 1, int(round(2 * chain_run / chain_frac)))
+    chain = (e.filter((F.col("cl") % F.lit(period)) < chain_run)
              .select(
         F.concat(F.lit("http://x/e"), F.col("eid")).alias("entity"),
-        F.concat(F.lit("band:"), (F.col("cl") / 2).cast("long"))
+        F.explode(F.array(
+            F.concat(F.lit("band:"), F.col("cl").cast("string")),
+            F.concat(F.lit("band:"), (F.col("cl") - 1).cast("string"))))
         .alias("block_key")))
     return star.unionByName(chain)
 
@@ -58,6 +65,9 @@ def main():
                     help="approximate pair-row count (gate shape: 17M)")
     ap.add_argument("--cluster", type=int, default=5)
     ap.add_argument("--chain-frac", type=float, default=0.1)
+    ap.add_argument("--chain-run", type=int, default=8,
+                    help="clusters per chain (chain diameter; see "
+                         "build_pairs)")
     args = ap.parse_args()
 
     from olkg.canonicalize import connected_components
@@ -68,7 +78,8 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     # ~1.1 pair rows per entity in this construction
     n_entities = int(args.pairs / 1.1)
-    pairs = build_pairs(spark, n_entities, args.cluster, args.chain_frac)
+    pairs = build_pairs(spark, n_entities, args.cluster, args.chain_frac,
+                        chain_run=args.chain_run)
     pairs = pairs.persist()
     n_pairs = pairs.count()          # materialize input outside the timing
     cc_stats: dict = {}

@@ -228,3 +228,55 @@ def test_ivf_materialized_query_lookup_prunes_and_queries_df(spark, tmp_path):
     # misuse is an explicit error, not an empty result
     with pytest.raises(ValueError, match="query_ids or a queries"):
         ivf_topk_materialized(spark, path, cents, k=5, nprobe=2)
+
+
+def test_ivf_materialized_preopened_handles_identical_and_pruned(
+        spark, tmp_path):
+    """Round-6: the serving read path takes pre-opened ``corpus`` /
+    ``ids_index`` handles (what entry._ivf_handles caches per session) so
+    repeated queries skip the per-call parquet listing + schema inference.
+    Results and the pruned single-corpus-scan plan must be IDENTICAL to the
+    self-opening path."""
+    import contextlib
+    import io
+    import os
+    from pyspark.sql import functions as F
+    from olkg.simsearch import ivf_materialize, ivf_topk_materialized
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    emb = emb.withColumn("embedding",
+                         F.transform("embedding", lambda x: x.cast("double")))
+    cents = spark.read.parquet(
+        os.path.join(os.path.dirname(entry_mod.__file__), "data",
+                     "ivf_centroids.parquet"))
+    path = str(tmp_path / "ivf_corpus")
+    ivf_materialize(emb, cents, path)
+
+    corpus = spark.read.parquet(path)
+    ids = spark.read.parquet(path + "/_ids").persist()
+    try:
+        qids = list(range(5))
+        got_h = ivf_topk_materialized(spark, path, cents, qids, k=5,
+                                      nprobe=2, corpus=corpus,
+                                      ids_index=ids)
+        # read the STATIC plan before any action (matching the round-5
+        # pruning contract test): after execution the AQE final plan prints
+        # the DPP subquery as a second scan block of the same pruned scan
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            got_h.explain(mode="formatted")
+        plan = buf.getvalue()
+        scans = [b for b in plan.split("\n\n")
+                 if "Scan parquet" in b and "ivf_corpus" in b
+                 and "_ids" not in b]
+        assert len(scans) == 1, plan   # one pruned candidate scan, as before
+        for b in scans:
+            pf = [ln for ln in b.splitlines() if "PartitionFilters" in ln]
+            assert pf and any("cell" in ln for ln in pf), b
+
+        got = ivf_topk_materialized(spark, path, cents, qids, k=5, nprobe=2)
+        as_set = lambda df: {(r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+                             for r in df.collect()}
+        assert as_set(got_h) == as_set(got) and len(as_set(got)) > 0
+    finally:
+        ids.unpersist()

@@ -150,6 +150,27 @@ def test_cc_long_chain_converges_within_max_iter(spark):
     assert stats["iterations"] <= 20
 
 
+def test_cc_nonconvergence_raises_loudly(spark):
+    """An exhausted iteration budget with rows still changing must RAISE,
+    never return a partially-merged map (the engine's no-silent-caps rule):
+    a long chain at max_iter=2 cannot converge (the jump gate needs
+    iteration >= 2 of history), so the loop must fail loudly and record
+    converged=False in cc_stats."""
+    import pytest
+    from olkg.canonicalize import connected_components
+    n = 60
+    rows = []
+    for i in range(n - 1):
+        rows.append((f"e{i:03d}", f"k{i:03d}"))
+        rows.append((f"e{i+1:03d}", f"k{i:03d}"))
+    pairs = spark.createDataFrame(rows, ["entity", "block_key"])
+    stats = {}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2, cc_stats=stats)
+    assert stats["converged"] is False
+    assert stats["changed_hist"][-1] != 0
+
+
 def test_cc_star_blocks_never_pay_the_jump(spark):
     """Star blocks (the identifier-block common case) collapse their
     changed census geometrically and converge by round 3 — the progress

@@ -213,8 +213,7 @@ def test_fast_pipeline_dedup_pages_with_postwrite(spark, corpus,
     lcsh = spark.createDataFrame(LCSH_ROWS, LCSH_SCHEMA)
     metrics = run_pipeline_fast(spark, pages_path, out, lcsh=lcsh,
                                 hot_threshold=100, num_salts=4,
-                                dedup_pages=True, dedup_postwrite=True,
-                                keep_raw=False)
+                                dedup_pages=True, dedup_postwrite=True)
     edges = spark.read.parquet(out + "/edges")
     result = edges_set(spark, out)
     assert edges.count() == len(result), "edges table contains duplicates"
@@ -224,7 +223,12 @@ def test_fast_pipeline_dedup_pages_with_postwrite(spark, corpus,
     assert metrics["pages"] == len(corpus)      # 3x input deduped to 1x
     assert metrics["stages"]["dedup_direct"]["dedup_plan"].startswith("hashagg")
     import os
-    assert not os.path.exists(out + "/edges_raw")   # keep_raw=False cleans up
+    # default keep_raw=False reclaims the raw table after the exactness
+    # census (raw == kept + dropped) verified the decomposition
+    assert not os.path.exists(out + "/edges_raw")
+    assert metrics["stages"]["dedup_direct"]["raw_rows"] == (
+        metrics["stages"]["dedup_direct"]["rows"]
+        + metrics["stages"]["dedup_direct"]["n_dropped_dups"])
 
 
 def test_durable_pipeline_postwrite_dedup(spark, corpus, tmp_path_factory):
@@ -510,7 +514,7 @@ def test_fast_pipeline_postwrite_dedup(spark, corpus, tmp_path_factory):
     lcsh = spark.createDataFrame(LCSH_ROWS, LCSH_SCHEMA)
     metrics = run_pipeline_fast(spark, pages_path, out, lcsh=lcsh,
                                 hot_threshold=100, num_salts=4,
-                                dedup_postwrite=True)
+                                dedup_postwrite=True, keep_raw=True)
     edges = spark.read.parquet(out + "/edges")
     n_rows = edges.count()
     result = edges_set(spark, out)
@@ -525,8 +529,10 @@ def test_fast_pipeline_postwrite_dedup(spark, corpus, tmp_path_factory):
     assert "extract_raw" in metrics["stages"]
     assert metrics["stages"]["dedup_direct"]["dedup_plan"] == \
         "hashagg-broadcast"
-    # the raw stage table is kept (stage lineage); its row count equals
-    # deduped rows + detected drops — the decomposition is exact
+    # keep_raw=True retains the raw stage table (recovery checkpoint /
+    # lineage anchor); its row count equals deduped rows + detected drops —
+    # the decomposition is exact (the default keep_raw=False verifies this
+    # same census before reclaiming the raw table)
     raw = spark.read.parquet(out + "/edges_raw")
     assert raw.count() == (metrics["stages"]["dedup_direct"]["rows"]
                            + metrics["stages"]["dedup_direct"]["n_dropped_dups"])

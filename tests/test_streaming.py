@@ -2,12 +2,29 @@
 extract rows (exactly-once via the streaming checkpoint), and the watermarked
 windowed aggregation matches its batch equivalent."""
 
+import contextlib
 import os
 
 from pyspark.sql import functions as F
 
 from olkg.fixtures import corpus_lines
 from olkg.pagesgen import build_pages_df
+
+
+@contextlib.contextmanager
+def _few_state_partitions(spark, n=4):
+    """Streaming queries capture shuffle_partitions at FIRST start as the
+    state-store partition count; the session default (32) means every
+    micro-batch of every stateful test pays 32 state stores of commit
+    overhead for a handful of rows.  4 keeps the same code paths (still
+    parallel state) at ~1/8th the fixed cost — this is what cut the suite
+    wall, not reduced coverage."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def test_stream_extract_matches_batch(spark, tmp_path):
@@ -20,8 +37,9 @@ def test_stream_extract_matches_batch(spark, tmp_path):
     pages.write.mode("overwrite").parquet(in_dir)
 
     out_dir = str(tmp_path / "stream_out")
-    q = stream_extract(spark, in_dir, out_dir)
-    q.awaitTermination(120)
+    with _few_state_partitions(spark):
+        q = stream_extract(spark, in_dir, out_dir)
+        q.awaitTermination(120)
 
     want = extract_pages(pages)
     # the idempotent sink partitions by batch_id; project it away to compare
@@ -32,8 +50,9 @@ def test_stream_extract_matches_batch(spark, tmp_path):
     assert g == w and len(g) > 0
 
     # restart with the same checkpoint: no new input → no duplicate rows
-    q2 = stream_extract(spark, in_dir, out_dir)
-    q2.awaitTermination(120)
+    with _few_state_partitions(spark):
+        q2 = stream_extract(spark, in_dir, out_dir)
+        q2.awaitTermination(120)
     assert spark.read.parquet(
         os.path.join(out_dir, "extract_stream")).count() == len(
         got.collect())
@@ -51,10 +70,11 @@ def test_stream_events_hourly_matches_batch(spark, tmp_path):
     # complete mode + memory sink: append mode would hold every window in
     # state until the watermark passes it, which never happens on a finite
     # drained source — the standard finite-source test pattern
-    q = (agg.writeStream.outputMode("complete")
-         .format("memory").queryName("evh_test")
-         .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    with _few_state_partitions(spark):
+        q = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName("evh_test")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
 
     got = spark.sql("SELECT * FROM evh_test")
     want = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
@@ -93,15 +113,16 @@ def test_stream_sessionize(spark, tmp_path):
     ck = str(tmp_path / "sess_ck")
 
     def run_once():
-        stream = (spark.readStream
-                  .schema("user_id long, ts timestamp, value double")
-                  .parquet(str(in_dir) + "/*"))
-        q = (stream_sessionize(stream, gap_minutes=30)
-             .writeStream.outputMode("append")
-             .option("checkpointLocation", ck)
-             .format("parquet").option("path", out)
-             .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        with _few_state_partitions(spark):
+            stream = (spark.readStream
+                      .schema("user_id long, ts timestamp, value double")
+                      .parquet(str(in_dir) + "/*"))
+            q = (stream_sessionize(stream, gap_minutes=30)
+                 .writeStream.outputMode("append")
+                 .option("checkpointLocation", ck)
+                 .format("parquet").option("path", out)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
 
     run_once()
     got = {(r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
@@ -124,16 +145,17 @@ def test_stream_sessionize(spark, tmp_path):
 def _run_sessionize(spark, in_dir, out, ck, gap_minutes=30,
                     watermark_minutes=None):
     from olkg.streaming import stream_sessionize
-    stream = (spark.readStream
-              .schema("user_id long, ts timestamp, value double")
-              .parquet(str(in_dir) + "/*"))
-    q = (stream_sessionize(stream, gap_minutes=gap_minutes,
-                           watermark_minutes=watermark_minutes)
-         .writeStream.outputMode("append")
-         .option("checkpointLocation", ck)
-         .format("parquet").option("path", out)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    with _few_state_partitions(spark):
+        stream = (spark.readStream
+                  .schema("user_id long, ts timestamp, value double")
+                  .parquet(str(in_dir) + "/*"))
+        q = (stream_sessionize(stream, gap_minutes=gap_minutes,
+                               watermark_minutes=watermark_minutes)
+             .writeStream.outputMode("append")
+             .option("checkpointLocation", ck)
+             .format("parquet").option("path", out)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
 
 
 def test_stream_sessionize_late_event_merges_without_regression(spark, tmp_path):
