@@ -39,6 +39,14 @@ def build_session(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("OLKG_DRIVER_MEM", "8g"))
+        # extra driver JVM flags (local mode: the driver IS the executor).
+        # Motivating case: -XX:+AlwaysPreTouch faults the whole heap in at
+        # JVM startup — on hosts with slow/oversubscribed page backing,
+        # demand-faulting heap pages DURING shuffle phases serializes task
+        # threads in kernel page-fault handling; pre-touching converts that
+        # to a one-time sequential startup cost
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("OLKG_DRIVER_JAVA_OPTS", ""))
         # input split sizing: the default 128 MB coalesces a medium local
         # corpus into fewer splits than cores, serializing the extract stage;
         # 16 MB keeps scan parallelism ≥ cores at bench scale while remaining
@@ -52,6 +60,15 @@ def build_session(
         # genuine cluster scale set this back up via the env var.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                 os.environ.get("OLKG_ADVISORY_PARTITION_BYTES", "2m"))
+        # stage-table codec: every byte written to a stage table traverses
+        # the storage/memory path twice (write + downstream read); zstd
+        # roughly halves parquet bytes vs snappy at a CPU cost that — unlike
+        # bandwidth — actually scales with executors.  At 10^12 rows the
+        # stage tables are the dominant I/O, so the compression/CPU trade
+        # leans further toward zstd the larger the cluster; keep snappy only
+        # when local scratch bandwidth is free and CPUs are the constraint.
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("OLKG_PARQUET_CODEC", "snappy"))
     )
     # Shuffle/spill scratch: on a real cluster this is per-executor local SSD
     # whose aggregate bandwidth scales with the node count; this sandbox has

@@ -183,6 +183,7 @@ def main():
             "dedup_mode": args.dedup_mode,
             "dedup_detect": args.dedup_detect,
             "storage": args.storage,
+            "parquet_codec": os.environ.get("OLKG_PARQUET_CODEC", "snappy"),
             "pages": any_t.get("pages"),
             "triples": any_t.get("triples"),
             "levels": [lo, hi],
