@@ -62,14 +62,20 @@ def cosine_topk_bruteforce(embeddings: DataFrame, query_ids: list[int],
     tiny → broadcast; the corpus side streams, so this scales with corpus
     size × |queries| and never shuffles the corpus (only the per-partition
     partial top-k survivors)."""
+    # norms are per-VECTOR quantities: evaluate each once at the scan
+    # (identical expression → identical double) instead of once per
+    # (query, neighbor) pair — cuts the per-pair array passes 3× (guide
+    # §1.2 "per-task work")
     q = (embeddings.filter(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("query_id"),
-                 F.col(vec_col).alias("qv")))
+                 F.col(vec_col).alias("qv"),
+                 _norm(F.col(vec_col)).alias("qn")))
     c = embeddings.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).alias("cv"))
+                          F.col(vec_col).alias("cv"),
+                          _norm(F.col(vec_col)).alias("cn"))
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id"))
-    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    sim = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = pairs.select("query_id", "neighbor_id",
                           F.round(sim, 4).alias("cos_sim"))
     return _topk_per_query(scored, k)
@@ -108,12 +114,20 @@ def lsh_signatures(embeddings: DataFrame, num_planes: int = 8,
 
 def lsh_signatures_from_planes(embeddings: DataFrame, planes: DataFrame,
                                id_col: str = "vec_id",
-                               vec_col: str = "embedding") -> DataFrame:
+                               vec_col: str = "embedding",
+                               with_vec: bool = False) -> DataFrame:
     """(id, bucket) from an explicit hyperplane table (table_id, plane_id,
     w: array<double>).  The plane table is tiny (tables × planes rows) →
     broadcast; bits are computed per row with nested array expressions, no
     extra shuffle.  Any engine reading the same table derives the identical
-    buckets — the cross-engine-verifiable LSH path."""
+    buckets — the cross-engine-verifiable LSH path.
+
+    ``with_vec=True`` additionally carries the vector (``v``) and its
+    precomputed L2 norm (``vn``) on each signature row, so a downstream
+    bucket self-join can score pairs inline without re-joining the
+    embedding table (the norm is the identical ``_norm`` expression over
+    the identical vector — same double, computed once per signature row
+    instead of once per candidate pair)."""
     per_table = (planes
                  .groupBy("table_id")
                  .agg(F.array_sort(F.collect_list(F.struct("plane_id", "w")))
@@ -124,28 +138,40 @@ def lsh_signatures_from_planes(embeddings: DataFrame, planes: DataFrame,
         "ws",
         lambda w: F.when(_dot(F.col(vec_col), w) > 0, F.lit("1"))
                    .otherwise(F.lit("0")))
-    return (embeddings.crossJoin(F.broadcast(per_table))
-            .select(F.col(id_col).alias("id"),
-                    F.concat(F.lit("t"), F.col("table_id").cast("string"),
-                             F.lit(":"), F.array_join(bits, ""))
-                    .alias("bucket")))
+    out = [F.col(id_col).alias("id"),
+           F.concat(F.lit("t"), F.col("table_id").cast("string"),
+                    F.lit(":"), F.array_join(bits, "")).alias("bucket")]
+    if with_vec:
+        out += [F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("vn")]
+    return embeddings.crossJoin(F.broadcast(per_table)).select(*out)
 
 
 def _topk_from_signatures(embeddings: DataFrame, sig: DataFrame,
                           query_ids: list[int], k: int,
                           id_col: str, vec_col: str) -> DataFrame:
-    emb_b = embeddings.join(sig.withColumnRenamed("id", id_col), id_col)
-    q = (emb_b.filter(F.col(id_col).isin(query_ids))
+    # candidate (query, neighbor) pairs dedup as two LONGS; the previous
+    # shape attached both vectors first and then ran distinct over rows
+    # whose grouping keys included two 64-double arrays (an
+    # ObjectHashAggregate over array keys), and recomputed both norms per
+    # pair.  The candidate set is identical: (qv, cv) are functionally
+    # determined by the ids, so distinct-on-ids ≡ distinct-on-ids+vectors.
+    q_sig = (sig.filter(F.col("id").isin(query_ids))
+             .select(F.col("id").alias("query_id"), "bucket"))
+    cand = (sig.join(F.broadcast(q_sig), "bucket")
+            .filter(F.col("id") != F.col("query_id"))
+            .select("query_id", F.col("id").alias("neighbor_id"))
+            .distinct())
+    q = (embeddings.filter(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("query_id"),
-                 F.col(vec_col).alias("qv"), "bucket"))
-    c = emb_b.select(F.col(id_col).alias("neighbor_id"),
-                     F.col(vec_col).alias("cv"), "bucket")
-    pairs = (c.join(F.broadcast(q), "bucket")
-             .filter(F.col("neighbor_id") != F.col("query_id"))
-             .select("query_id", "neighbor_id", "qv", "cv").distinct())
-    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    scored = pairs.select("query_id", "neighbor_id",
-                          F.round(sim, 4).alias("cos_sim"))
+                 F.col(vec_col).alias("qv"),
+                 _norm(F.col(vec_col)).alias("qn")))
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cv"),
+                          _norm(F.col(vec_col)).alias("cn"))
+    sim = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+              .select("query_id", "neighbor_id",
+                      F.round(sim, 4).alias("cos_sim")))
     return _topk_per_query(scored, k)
 
 
@@ -181,21 +207,27 @@ def embedding_near_dup_pairs(embeddings: DataFrame, planes: DataFrame,
     Candidate cost is bucket-quadratic, not corpus-quadratic: the bucket
     join shuffles on the bucket key, so skewed buckets are the thing to
     watch — lower num_planes widens buckets, more tables raises recall."""
-    sig = lsh_signatures_from_planes(embeddings, planes, id_col, vec_col)
-    a = sig.select(F.col("id").alias("id_a"), "bucket")
-    b = sig.select(F.col("id").alias("id_b"), "bucket")
-    cand = (a.join(b, "bucket")
+    # signatures carry the vector + its precomputed norm through the ONE
+    # bucket self-join, so pairs are scored inline as they stream out of
+    # the join — no candidate-distinct over ~bucket-quadratic pair rows and
+    # no re-attach joins against the embedding table; the only remaining
+    # distinct runs over the threshold SURVIVORS (near-dup pairs, tiny).
+    # A pair sharing several buckets is scored once per shared bucket, but
+    # each scoring is the identical arithmetic on the identical vectors →
+    # identical row, collapsed by the final distinct; sim per pair and the
+    # surviving pair set are unchanged.
+    sig = lsh_signatures_from_planes(embeddings, planes, id_col, vec_col,
+                                     with_vec=True)
+    a = sig.select(F.col("id").alias("id_a"), "bucket",
+                   F.col("v").alias("va"), F.col("vn").alias("na"))
+    b = sig.select(F.col("id").alias("id_b"), "bucket",
+                   F.col("v").alias("vb"), F.col("vn").alias("nb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (a.join(b, "bucket")
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
-    va = embeddings.select(F.col(id_col).alias("id_a"),
-                           F.col(vec_col).alias("va"))
-    vb = embeddings.select(F.col(id_col).alias("id_b"),
-                           F.col(vec_col).alias("vb"))
-    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) *
-                                            _norm(F.col("vb")))
-    return (cand.join(va, "id_a").join(vb, "id_b")
             .filter(sim >= threshold)
-            .select("id_a", "id_b", F.round(sim, 4).alias("cos_sim")))
+            .select("id_a", "id_b", F.round(sim, 4).alias("cos_sim"))
+            .distinct())
 
 
 # --- IVF (coarse-quantizer) ANN -------------------------------------------
@@ -207,10 +239,16 @@ def ivf_assignments(embeddings: DataFrame, centroids: DataFrame,
     committed codebook (ties → lowest centroid_id, deterministic).  The
     codebook is tiny → broadcast; assignment is one narrow pass + a groupBy
     argmin whose shuffle carries one row per vector."""
-    cj = embeddings.crossJoin(F.broadcast(
-        centroids.select("centroid_id", "c")))
+    # both norms are per-vector/per-centroid quantities: evaluate them once
+    # per row (corpus side) / once per codebook row (broadcast side) instead
+    # of once per (vector × centroid) combination — identical expressions on
+    # identical inputs, so the cosine (and the argmin cell) are unchanged
+    cj = (embeddings.withColumn("_vn", _norm(F.col(vec_col)))
+          .crossJoin(F.broadcast(
+              centroids.select("centroid_id", "c",
+                               _norm(F.col("c")).alias("_cn")))))
     neg = -(_dot(F.col(vec_col), F.col("c")) /
-            (_norm(F.col(vec_col)) * _norm(F.col("c"))))
+            (F.col("_vn") * F.col("_cn")))
     return (cj.groupBy(F.col(id_col).alias("id"))
             .agg(F.min(F.struct(neg.alias("nd"),
                                 F.col("centroid_id").alias("cid"))).alias("m"))
@@ -244,11 +282,13 @@ def ivf_topk(embeddings: DataFrame, centroids: DataFrame,
     cand = (cells.join(F.broadcast(probes), "cell")
             .filter(F.col("id") != F.col("query_id"))
             .select("query_id", F.col("id").alias("neighbor_id")))
+    # per-vector norms once at the scan, not once per candidate pair
     c = embeddings.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).alias("cv"))
-    scored = (cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id"))
-    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) *
-                                            _norm(F.col("cv")))
+                          F.col(vec_col).alias("cv"),
+                          _norm(F.col(vec_col)).alias("cn"))
+    qn = q.withColumn("qn", _norm(F.col("qv")))
+    scored = (cand.join(c, "neighbor_id").join(F.broadcast(qn), "query_id"))
+    sim = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     return _topk_per_query(
         scored.select("query_id", "neighbor_id",
                       F.round(sim, 4).alias("cos_sim")), k)
@@ -303,11 +343,13 @@ def ivf_topk_materialized(spark, corpus_path: str, centroids: DataFrame,
     The probed-cell list (≤ |queries|·nprobe ints) is collected to the
     driver to become a partition-pruning predicate — that is the point of
     the layout, not a driver-side compute loop.  The by-id path pays
-    exactly TWO driver round-trips before the scoring job: the ``_ids``
-    lookup, then one combined job that reads the queries' home cells,
-    selects each query's probed cells, and AGGREGATES to one row per query
-    (vector + probed-cell list) before collecting — driver transfer is
-    |queries|·dim + |queries|·nprobe ints, never the vector × nprobe.
+    exactly ONE driver round-trip before the scoring job: a combined job
+    that broadcast-joins the filtered ``_ids`` index against the corpus
+    (dynamic partition pruning keeps the fetch to the queries' home
+    cells), selects each query's probed cells, and AGGREGATES to one row
+    per query (vector + probed-cell list) before collecting — driver
+    transfer is |queries|·dim + |queries|·nprobe ints, never the
+    vector × nprobe.
 
     ``corpus`` / ``ids_index`` are optional pre-opened handles for the two
     layout reads (a serving layer keeps them persisted across queries):
@@ -339,10 +381,19 @@ def ivf_topk_materialized(spark, corpus_path: str, centroids: DataFrame,
     else:
         idx = (ids_index if ids_index is not None
                else spark.read.parquet(corpus_path + "/_ids"))
-        qcells = [r.cell for r in (idx.filter(F.col("id").isin(query_ids))
-                                   .select("cell").distinct().collect())]
-        qv_src = (corpus.filter(F.col("cell").isin(qcells))
-                  .filter(F.col(id_col).isin(query_ids))
+        # ONE driver round-trip before scoring (was two): the queried ids'
+        # home cells are attached by broadcast-joining the filtered ``_ids``
+        # index against the corpus on (id, cell) — the equi-condition on
+        # the partition column lets dynamic partition pruning push the
+        # home-cell list into the corpus scan (asserted in tests), so the
+        # vector fetch still reads ≤ |queries| cell directories without a
+        # separate qcells collect job
+        qidx = (idx.filter(F.col("id").isin(query_ids))
+                .select("id", F.col("cell").alias("_qcell")))
+        qv_src = (corpus.join(
+                      F.broadcast(qidx),
+                      (F.col(id_col) == F.col("id"))
+                      & (F.col("cell") == F.col("_qcell")))
                   .select(F.col(id_col).alias("query_id"),
                           F.col(vec_col).alias("qv")))
         picked = (qv_src.crossJoin(qc_cols)
@@ -365,12 +416,15 @@ def ivf_topk_materialized(spark, corpus_path: str, centroids: DataFrame,
         q = spark.createDataFrame([(r.query_id, r.qv) for r in picked],
                                   T.StructType([id_f, vec_f]))
 
-    pruned = corpus.filter(F.col("cell").isin(probe_cells))
+    # per-vector norms once at the scan / once per query row, not once per
+    # candidate pair (identical expressions → identical doubles)
+    pruned = (corpus.filter(F.col("cell").isin(probe_cells))
+              .withColumn("_cn", _norm(F.col(vec_col))))
     cand = (pruned.join(F.broadcast(probes), "cell")
             .filter(F.col(id_col) != F.col("query_id")))
-    sim = _dot(F.col("qv"), F.col(vec_col)) / (_norm(F.col("qv")) *
-                                               _norm(F.col(vec_col)))
-    scored = (cand.join(F.broadcast(q), "query_id")
+    sim = _dot(F.col("qv"), F.col(vec_col)) / (F.col("_qn") * F.col("_cn"))
+    scored = (cand.join(F.broadcast(
+                  q.withColumn("_qn", _norm(F.col("qv")))), "query_id")
               .select("query_id", F.col(id_col).alias("neighbor_id"),
                       F.round(sim, 4).alias("cos_sim")))
     return _topk_per_query(scored, k)

@@ -82,14 +82,43 @@ def _shingles(documents: DataFrame, n: int = 3) -> DataFrame:
             .distinct())
 
 
+def _shingle_hashes(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h): word-n-gram occurrences hashed to 64 bits AT THE SOURCE
+    (h = xxhash64(shingle)), NOT deduplicated — callers dedup at their
+    aggregate (min/collect_set are multiplicity-insensitive) or with an
+    explicit ``.distinct()``.
+
+    Why hashes instead of the shingle strings (guide §2.3 "shuffle fewer
+    bytes" / "narrower types"): every downstream exchange — dedup, inverted
+    index join, document-frequency count, per-doc set aggregation — carries
+    a fixed 8-byte key instead of a ~20-40 byte string, and join/group
+    comparisons become single long compares.  Two distinct shingles collide
+    in the same doc-pair's union with probability ~|union|²/2⁶⁴ (~1e-14 for
+    ~600-shingle unions), orders of magnitude below the engine's documented
+    LSH miss tolerance (minhash_near_dup_pairs: ≤1.6e-5), so results are
+    identical to the string-keyed formulation with overwhelming probability
+    — asserted against the string-exact oracle at every tested scale."""
+    toks = documents.select("doc_id", F.split("text", " ").alias("t"))
+    n_sh = F.greatest(F.size("t") - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", *[F.element_at(F.col("t"), (i + j + 1).cast("int"))
+                               for j in range(n)])),
+    )
+    return (toks.filter(n_sh > 0)
+            .select("doc_id", F.explode(grams).alias("h")))
+
+
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
                         threshold: float = 0.5,
                         max_df: int | None = 10_000,
                         dropped_stats: dict | None = None) -> DataFrame:
     """(doc_a, doc_b, inter_size, jaccard) for all pairs with word-n-gram
-    Jaccard ≥ threshold.  Inverted-index equi-join on the shingle, so only
-    docs sharing a shingle are ever paired; `max_df` drops shingles that occur
-    in more than max_df documents (stop-shingle guard).
+    Jaccard ≥ threshold.  Inverted-index equi-join on the 64-bit shingle
+    hash (see :func:`_shingle_hashes`), so only docs sharing a shingle are
+    ever paired; `max_df` drops shingles that occur in more than max_df
+    documents (stop-shingle guard).
 
     The threshold compares the UNROUNDED ratio (rounding is display-only in
     the returned column), so boundary pairs agree with any exact re-check.
@@ -98,22 +127,33 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     max_df guard discarded — filled eagerly (one small aggregation job) with
     ``dropped_shingles`` / ``dropped_postings`` so a production run can log
     them to its metrics table before committing to the capped pair set."""
-    sh = _shingles(documents, n)
+    # One hash-keyed posting list, built with ONE exchange (guide §2.3/§2.4):
+    # occurrences repartition by the shingle hash, then BOTH the per-(h,doc)
+    # dedup and the document-frequency cap run as window passes over that
+    # single partitioning (hash(h) satisfies the (h, doc_id) clustering, and
+    # the df window's sort-by-h is a prefix of the dedup window's sort), so
+    # neither adds an exchange — the string-keyed formulation paid a distinct
+    # exchange + a df-count exchange + a join, all carrying ~20-40-byte
+    # shingle strings, and recomputed the explode subtree per consumer.
+    occ = _shingle_hashes(documents, n).repartition("h")
+    w_dedup = Window.partitionBy("h", "doc_id").orderBy("doc_id")
+    sh = (occ.withColumn("_rn", F.row_number().over(w_dedup))
+          .filter(F.col("_rn") == 1).drop("_rn"))
     if max_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        counted = sh.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("h")))
         if dropped_stats is not None:
-            row = (df_counts.filter(F.col("df") > max_df)
-                   .agg(F.count(F.lit(1)).alias("dropped_shingles"),
-                        F.coalesce(F.sum("df"), F.lit(0))
-                        .alias("dropped_postings")).first())
+            row = (counted.filter(F.col("_df") > max_df)
+                   .agg(F.count_distinct("h").alias("dropped_shingles"),
+                        F.count(F.lit(1)).alias("dropped_postings")).first())
             dropped_stats["dropped_shingles"] = row["dropped_shingles"]
             dropped_stats["dropped_postings"] = row["dropped_postings"]
-        sh = (sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
-              .select("doc_id", "shingle"))
+        sh = (counted.filter(F.col("_df") <= max_df)
+              .select("doc_id", "h"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (a.join(b, "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (a.join(b, "h")
              .filter(F.col("doc_a") < F.col("doc_b"))
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("inter_size")))
@@ -138,17 +178,22 @@ def minhash_lsh_candidates(documents: DataFrame, n: int = 3,
     Entirely native expressions: the permutation fan-out is a posexplode over
     a literal seq, min-aggregated per (doc, perm); deterministic."""
     rows_per_band = num_perm // bands
-    sh = _shingles(documents, n)
-    # hash each shingle once; permutation p = remix xxhash64(h, p) as an
-    # aggregate column — one shuffle, no num_perm-fold row explosion
-    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    # shingle hashes straight off the explode (no string shuffle, no
+    # pre-distinct: min() is duplicate-insensitive, so the optimizer-level
+    # dedup the string path relied on is simply unnecessary here);
+    # permutation p = remix xxhash64(h, p) as an aggregate column — one
+    # map-side-partial shuffle of 16 longs per (doc, map partition), no
+    # num_perm-fold row explosion
+    hashed = _shingle_hashes(documents, n)
     mins = hashed.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.col("h"), F.lit(p))).alias(f"m{p}")
           for p in range(num_perm)])
+    # band key as ONE long (band id salts the hash) instead of a "b:hash"
+    # string — 8-byte join keys; a cross-band bucket collision only ADDs a
+    # candidate pair, which exact verification then filters
     buckets = F.array(*[
-        F.concat(F.lit(f"{b}:"),
-                 F.xxhash64(*[F.col(f"m{b * rows_per_band + r}")
-                              for r in range(rows_per_band)]).cast("string"))
+        F.xxhash64(F.lit(b), *[F.col(f"m{b * rows_per_band + r}")
+                               for r in range(rows_per_band)])
         for b in range(bands)])
     banded = mins.select("doc_id", F.explode(buckets).alias("bucket"))
     l = banded.select(F.col("doc_id").alias("doc_a"), "bucket")
@@ -174,15 +219,27 @@ def minhash_near_dup_pairs(documents: DataFrame, n: int = 3,
     The threshold compares the unrounded ratio; rounding is display-only."""
     cand = minhash_lsh_candidates(documents, n=n, num_perm=num_perm,
                                   bands=bands)
-    sets = (_shingles(documents, n)
+    # per-doc distinct-shingle sets as 8-byte hash arrays (collect_set
+    # dedups, so no separate distinct pass); |A∩B|/|A∪B| over the hash sets
+    # equals the string-set Jaccard up to ~1e-14 collision probability (see
+    # _shingle_hashes) — the string formulation shuffled AND (on a bad
+    # post-aggregate estimate) BROADCAST the full collect_set(string)
+    # relation twice, ~100 MB a side at bench sf1.0.  Attach topology
+    # (A/B-measured, OPTIMIZATION_r07.md): broadcast the candidate PAIRS
+    # (two longs/row) and stream the first set relation past them, then a
+    # SHUFFLED HASH join for the second attach — the set relation is never
+    # driver-collected on a wrong estimate, and the sort a merge join would
+    # impose on the array-carrying stream is avoided.
+    sets = (_shingle_hashes(documents, n)
             .groupBy("doc_id")
-            .agg(F.collect_set("shingle").alias("sh")))
+            .agg(F.collect_set("h").alias("sh")))
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jacc = inter / union
-    return (cand.join(a, "doc_a").join(b, "doc_b")
+    return (a.join(F.broadcast(cand), "doc_a")
+            .join(b.hint("shuffle_hash"), "doc_b")
             .filter(jacc >= threshold)
             .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard")))
 
