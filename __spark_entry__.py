@@ -32,7 +32,7 @@ _CACHE: dict = {}
 
 def _kg(spark: SparkSession):
     """Run extract→link→dedup once per session; cache the small results."""
-    key = ("kg", id(spark))
+    key = ("kg", spark.sparkContext.applicationId)
     if key not in _CACHE:
         from olkg.canonicalize import dedup_edges
         from olkg.extract import extract_pages
@@ -226,7 +226,10 @@ def _ivf_handles(spark, path: str):
     centroid codebook.  These are the per-query fixed read costs a serving
     layer pays ONCE per layout, not per query — ``ivf_topk_materialized``
     takes them as its ``corpus`` / ``ids_index`` handles."""
-    key = ("ivf", id(spark), path)
+    # keyed on the application id (stable per SparkContext lifetime), not
+    # id(spark): a stopped session's address can be reused by a new one,
+    # which would hand back handles bound to the dead session
+    key = ("ivf", spark.sparkContext.applicationId, path)
     if key not in _CACHE:
         corpus = spark.read.parquet(path)
         ids = spark.read.parquet(path + "/_ids").persist()

@@ -165,13 +165,17 @@ def dedup_from_raw(raw: DataFrame,
     executor cache for the app lifetime — a ResourceWarning says so rather
     than leaking silently."""
     if cleanup is None:
+        # UserWarning + a WARNING-level log line: ResourceWarning is hidden
+        # by default Python filters, which made the documented "fail loudly
+        # instead of leaking silently" contract effectively silent
+        import logging
         import warnings
-        warnings.warn(
-            "dedup_from_raw: no `cleanup` list passed — the persisted "
-            "detect intermediate cannot be unpersisted by the caller and "
-            "leaks for the app lifetime; pass cleanup=[] and unpersist "
-            "its entries after materializing the output",
-            ResourceWarning, stacklevel=2)
+        msg = ("dedup_from_raw: no `cleanup` list passed — the persisted "
+               "detect intermediate cannot be unpersisted by the caller and "
+               "leaks for the app lifetime; pass cleanup=[] and unpersist "
+               "its entries after materializing the output")
+        warnings.warn(msg, UserWarning, stacklevel=2)
+        logging.getLogger(__name__).warning(msg)
     proj = raw.select("h1", "h2", "uid")
     if detect == "hashagg":
         pre = (proj.repartition(detect_partitions, "h1", "h2")

@@ -69,10 +69,15 @@ def read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:
 
 
 def append_lineage(spark: SparkSession, out_dir: str, run_id: str, stage: str,
-                   df: DataFrame, wall_ms: int) -> None:
+                   df: DataFrame, wall_ms: int,
+                   detail: str | None = None) -> None:
     """Per-partition lineage rows for a completed stage: the checkpointed
     evidence of what each partition produced (north_rule's lineage+metrics).
-    Reads the stage's own checkpoint so counting costs one column scan."""
+    Reads the stage's own checkpoint so counting costs one column scan.
+    ``detail`` (optional JSON string) records stage-level contracts on the
+    lineage row itself — e.g. the postwrite-dedup retention census
+    (raw == kept + dropped), so a resumed run can prove the raw-table
+    reclaim was verified without the original driver's metrics dict."""
     per_part = (df.groupBy(F.spark_partition_id().alias("partition_id"))
                 .agg(F.count(F.lit(1)).alias("rows_out"))
                 .select(F.lit(run_id).alias("run_id"),
@@ -80,7 +85,7 @@ def append_lineage(spark: SparkSession, out_dir: str, run_id: str, stage: str,
                         F.col("partition_id").cast("long"),
                         F.col("rows_out").cast("long"),
                         F.lit(wall_ms).cast("long").alias("wall_ms"),
-                        F.lit(None).cast("string").alias("detail")))
+                        F.lit(detail).cast("string").alias("detail")))
     per_part.write.mode("append").parquet(pjoin(out_dir, "lineage"))
 
 

@@ -381,8 +381,11 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
         dd_metrics = {"wall_ms": None, "rows": n_direct, **dstats}
         if not keep_raw:
             # delete-after-verify (see retention contract in the docstring):
-            # metadata-only parquet count, then the exactness census gates
-            # the reclaim — a mismatch keeps raw on disk and fails loudly
+            # an empty-projection parquet scan of the raw table (cheap —
+            # no columns decoded — though still a real job; Spark's v1
+            # parquet reader does not rewrite count(*) to footer metadata),
+            # then the exactness census gates the reclaim — a mismatch
+            # keeps raw on disk and fails loudly
             raw_rows = read_stage(spark, out_dir, "edges_raw").count()
             expected = (n_direct or 0) + dstats.get("n_dropped_dups", 0)
             if raw_rows != expected:
@@ -510,8 +513,16 @@ def run_pipeline_fast(spark: SparkSession, pages_path: str, out_dir: str,
         "nodes_ms": results["nodes_ms"]}
 
     edges = read_stage(spark, out_dir, "edges")
+    # the lineage row carries the retention-contract census (raw == kept +
+    # dropped, raw_retained) so the reclaim verification survives the run
+    dedup_census = metrics["stages"].get("dedup_direct")
     append_lineage(spark, out_dir, run_id, "edges", edges,
-                   metrics["stages"]["link_dedup"]["wall_ms"])
+                   metrics["stages"]["link_dedup"]["wall_ms"],
+                   detail=json.dumps(
+                       {k: dedup_census[k]
+                        for k in ("rows", "n_dropped_dups", "raw_rows",
+                                  "raw_retained") if k in dedup_census})
+                   if dedup_census else None)
     # full per-stage lineage (north_rule): nodes + canonical_map read their
     # own checkpoints, so each census is one pruned column scan; the side
     # sink census (written during the extract stage) is a lineage row too,
@@ -586,6 +597,15 @@ def main(argv=None):
                     help="deprecated no-op: raw reclaim is the default "
                          "(see --keep-raw)")
     args = ap.parse_args(argv)
+    if args.no_keep_raw:
+        # the round-6 default flip made this a no-op; warn so invocations
+        # that relied on it noticing the retention default changed
+        import warnings
+        warnings.warn(
+            "--no-keep-raw is deprecated and a no-op: raw-table reclaim "
+            "(delete-after-verify) has been the DEFAULT since the round-6 "
+            "retention-contract change; pass --keep-raw to retain "
+            "edges_raw as a recovery checkpoint", UserWarning)
 
     from .session import build_session
     spark = build_session(app_name="olkg-pipeline", master=args.master,

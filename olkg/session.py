@@ -39,14 +39,6 @@ def build_session(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("OLKG_DRIVER_MEM", "8g"))
-        # extra driver JVM flags (local mode: the driver IS the executor).
-        # Motivating case: -XX:+AlwaysPreTouch faults the whole heap in at
-        # JVM startup — on hosts with slow/oversubscribed page backing,
-        # demand-faulting heap pages DURING shuffle phases serializes task
-        # threads in kernel page-fault handling; pre-touching converts that
-        # to a one-time sequential startup cost
-        .config("spark.driver.extraJavaOptions",
-                os.environ.get("OLKG_DRIVER_JAVA_OPTS", ""))
         # input split sizing: the default 128 MB coalesces a medium local
         # corpus into fewer splits than cores, serializing the extract stage;
         # 16 MB keeps scan parallelism ≥ cores at bench scale while remaining
@@ -79,6 +71,17 @@ def build_session(
     # (OLKG_TMPFS_SCRATCH=1, used by the bench harnesses), not the default
     # for every consumer of build_session.  OLKG_LOCAL_DIR overrides either
     # way.
+    # extra driver JVM flags (local mode: the driver IS the executor).
+    # Motivating case: -XX:+AlwaysPreTouch faults the whole heap in at JVM
+    # startup — on hosts with slow/oversubscribed page backing,
+    # demand-faulting heap pages DURING shuffle phases serializes task
+    # threads in kernel page-fault handling; pre-touching converts that to
+    # a one-time sequential startup cost.  Only set when the env var is
+    # non-empty so an unset var does not clobber extraJavaOptions coming
+    # from spark-defaults.conf.
+    java_opts = os.environ.get("OLKG_DRIVER_JAVA_OPTS", "")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     local_dir = os.environ.get("OLKG_LOCAL_DIR")
     if (local_dir is None
             and os.environ.get("OLKG_TMPFS_SCRATCH") == "1"

@@ -343,13 +343,12 @@ def ivf_topk_materialized(spark, corpus_path: str, centroids: DataFrame,
     The probed-cell list (≤ |queries|·nprobe ints) is collected to the
     driver to become a partition-pruning predicate — that is the point of
     the layout, not a driver-side compute loop.  The by-id path pays
-    exactly ONE driver round-trip before the scoring job: a combined job
-    that broadcast-joins the filtered ``_ids`` index against the corpus
-    (dynamic partition pruning keeps the fetch to the queries' home
-    cells), selects each query's probed cells, and AGGREGATES to one row
-    per query (vector + probed-cell list) before collecting — driver
-    transfer is |queries|·dim + |queries|·nprobe ints, never the
-    vector × nprobe.
+    exactly TWO driver round-trips before the scoring job: the ``_ids``
+    lookup, then one combined job that reads the queries' home cells,
+    selects each query's probed cells, and AGGREGATES to one row per query
+    (vector + probed-cell list) before collecting — driver transfer is
+    |queries|·dim + |queries|·nprobe ints, never the vector × nprobe.
+    (A one-round-trip DPP variant measured slower; see the inline note.)
 
     ``corpus`` / ``ids_index`` are optional pre-opened handles for the two
     layout reads (a serving layer keeps them persisted across queries):
@@ -381,19 +380,19 @@ def ivf_topk_materialized(spark, corpus_path: str, centroids: DataFrame,
     else:
         idx = (ids_index if ids_index is not None
                else spark.read.parquet(corpus_path + "/_ids"))
-        # ONE driver round-trip before scoring (was two): the queried ids'
-        # home cells are attached by broadcast-joining the filtered ``_ids``
-        # index against the corpus on (id, cell) — the equi-condition on
-        # the partition column lets dynamic partition pruning push the
-        # home-cell list into the corpus scan (asserted in tests), so the
-        # vector fetch still reads ≤ |queries| cell directories without a
-        # separate qcells collect job
-        qidx = (idx.filter(F.col("id").isin(query_ids))
-                .select("id", F.col("cell").alias("_qcell")))
-        qv_src = (corpus.join(
-                      F.broadcast(qidx),
-                      (F.col(id_col) == F.col("id"))
-                      & (F.col("cell") == F.col("_qcell")))
+        # Two driver round-trips before scoring: the tiny ``_ids`` lookup
+        # (against the persisted index a serving layer keeps in memory),
+        # then the combined fetch+probe job.  A single-round-trip variant —
+        # broadcast-joining the filtered index against the corpus so
+        # dynamic partition pruning carries the home-cell list — was built
+        # and A/B-measured in round 7: DPP does fire, but the subquery
+        # planning+broadcast costs MORE than the collect it replaces at
+        # every tested scale (first call ~2.8× worse), so the explicit
+        # literal prune stays (OPTIMIZATION_r07.md).
+        qcells = [r.cell for r in (idx.filter(F.col("id").isin(query_ids))
+                                   .select("cell").distinct().collect())]
+        qv_src = (corpus.filter(F.col("cell").isin(qcells))
+                  .filter(F.col(id_col).isin(query_ids))
                   .select(F.col(id_col).alias("query_id"),
                           F.col(vec_col).alias("qv")))
         picked = (qv_src.crossJoin(qc_cols)

@@ -540,3 +540,13 @@ def test_fast_pipeline_postwrite_dedup(spark, corpus, tmp_path_factory):
     lineage = spark.read.parquet(out + "/lineage")
     stages = {r.stage for r in lineage.select("stage").distinct().collect()}
     assert {"edges", "nodes", "canonical_map", "sides"} <= stages
+    # round-7: the edges lineage row carries the retention-contract census
+    # itself, so a resumed run can verify raw == kept + dropped without the
+    # original driver's metrics dict
+    import json as _json
+    detail_rows = (lineage.filter(F.col("stage") == "edges")
+                   .select("detail").distinct().collect())
+    census = _json.loads(detail_rows[0]["detail"])
+    assert census["raw_retained"] is True
+    assert census["rows"] == metrics["stages"]["dedup_direct"]["rows"]
+    assert (census["rows"] + census["n_dropped_dups"]) == raw.count()
