@@ -314,17 +314,21 @@ def simhash_bits(documents: DataFrame, text_col: str = "text",
             .filter(F.col("tok") != "")
             .withColumn("h", h))
     one = F.lit(1).cast("long")
-    # high bits via shiftleft (a 1 << 63 Python literal would overflow the
-    # JVM long)
+    # branchless per-bit tally: sum((h>>b)&1) per bit plus one token count —
+    # the majority sign is 2·ones_b > n ⟺ the old sum(±1) > 0 (exact
+    # integer identity), without a conditional per (token, bit) in the
+    # aggregate's inner loop (60 × |tokens| evaluations)
     bit_cols = [
-        F.sum(F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1)
-              .otherwise(-1)).alias(f"b{b}")
+        F.sum(F.shiftright("h", b).bitwiseAND(one)).alias(f"b{b}")
         for b in range(nbits)
     ]
-    agg = toks.groupBy("doc_id").agg(*bit_cols)
+    agg = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"), *bit_cols)
     sim = F.lit(0).cast("long")
     for b in range(nbits):
-        sim = sim + F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)) \
+        # high bits via shiftleft (a 1 << 63 Python literal would overflow
+        # the JVM long)
+        sim = sim + F.when(F.col(f"b{b}") * 2 > F.col("_n"),
+                           F.shiftleft(one, b)) \
                      .otherwise(F.lit(0).cast("long"))
     return agg.select("doc_id", sim.alias("simhash")), nbits
 
@@ -365,12 +369,19 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
                       F.col("simhash").alias("sh_a"), "chunk")
     r = chunks.select(F.col("doc_id").alias("doc_b"),
                       F.col("simhash").alias("sh_b"), "chunk")
-    cand = (l.join(r, "chunk").filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "sh_a", "sh_b").distinct())
+    # verify BEFORE deduplicating: the hamming test is a per-row bit_count
+    # (cheap, codegen) while the dedup is a wide hash aggregate — filtering
+    # first shrinks the distinct from every block-quadratic candidate row
+    # (~27M at bench sf1.0) to the true near-pair set (~30k).  A pair
+    # sharing several chunks is tested once per shared chunk, but each test
+    # is the identical arithmetic → identical row, collapsed by distinct;
+    # filter-then-distinct ≡ distinct-then-filter for a deterministic
+    # row-local predicate.
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (cand.withColumn("hamming", ham)
+    return (l.join(r, "chunk").filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
-            .select("doc_a", "doc_b", "hamming"))
+            .select("doc_a", "doc_b", "hamming").distinct())
 
 
 # ---------------------------------------------------------------------------
