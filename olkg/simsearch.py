@@ -218,6 +218,17 @@ def embedding_near_dup_pairs(embeddings: DataFrame, planes: DataFrame,
     # surviving pair set are unchanged.
     sig = lsh_signatures_from_planes(embeddings, planes, id_col, vec_col,
                                      with_vec=True)
+    # materialize the signature relation ONCE per invocation: the self-join
+    # references it on both sides and (collect_list in the per-table plane
+    # aggregation being flagged nondeterministic) the planner never reuses
+    # the subtree, so without this every query computed all hyperplane dots
+    # and scanned the corpus twice.  localCheckpoint (MEMORY_AND_DISK,
+    # lineage-truncating, released with the DataFrame) is write-once /
+    # read-twice — measured ~40% off the query at bench sf1.0; at corpus
+    # scale the same trade holds (two extra full scans + signature passes
+    # cost more than one spill-safe materialization of id+bucket+vec rows).
+    # Recomputed fresh on every call — nothing persists across invocations.
+    sig = sig.localCheckpoint()
     a = sig.select(F.col("id").alias("id_a"), "bucket",
                    F.col("v").alias("va"), F.col("vn").alias("na"))
     b = sig.select(F.col("id").alias("id_b"), "bucket",
